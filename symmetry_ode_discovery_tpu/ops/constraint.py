@@ -1,0 +1,140 @@
+"""Equivariance constraint for SINDy coefficients (EquivSINDy-c).
+
+The constraint L_i Xi = Xi M_i for each Lie-algebra basis element L_i, where
+M_i is the representation of L_i on the polynomial library: the unique matrix
+with J_Theta(z) . L_i z = M_i Theta(z).
+
+The reference builds M_i symbolically with sympy (reference sindy.py:123-144).
+Here M_i is computed in closed form on monomial exponent vectors: for a
+monomial theta_t(z) = z^{E_t},
+
+    (J_Theta L z)_t = sum_{m,j} E_{tm} L_{mj} z^{E_t - e_m + e_j},
+
+and E_t - e_m + e_j indexes another library monomial of the same degree. So
+M_i[t, u] = sum over (m, j) with E_t - e_m + e_j = E_u of E_{tm} * L_i[m, j].
+Exact integer combinatorics — no symbols, no Jacobians, microseconds.
+
+The null space Q of the stacked constraint matrix C follows the reference
+exactly (sindy.py:85-115): per-L branch on invertibility (det >= 1e-5 uses the
+Kronecker form kron(L^-1, M^T) - I on the ROW-major vec of Xi; otherwise the
+Sylvester form kron(-M^T, I) + kron(I, L) on the COLUMN-major vec), SVD with
+the 5e-3 trailing-singular-value cutoff.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .library import FunctionLibrary, poly_exponent_table
+
+
+def get_M_list(library: FunctionLibrary, L_list: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Representation matrices M_i of each L_i on the polynomial library.
+
+    Matches the sympy construction of reference sindy.py:123-144 exactly
+    (verified: M entries are linear in L with integer weights E_{tm}).
+    """
+    if library.include_sine or library.include_exp:
+        raise ValueError("Equivariance constraint supports the polynomial library only "
+                         "(the reference disables sine/exp under constraint, sindy.py:47-48).")
+    E = poly_exponent_table(library.dim, library.poly_order)
+    p, d = E.shape
+    index = {tuple(row): t for t, row in enumerate(E.tolist())}
+    M_list = []
+    for L in L_list:
+        L = np.asarray(L, dtype=np.float64)
+        M = np.zeros((p, p), dtype=np.float64)
+        for t in range(p):
+            for m in range(d):
+                if E[t, m] == 0:
+                    continue
+                for j in range(d):
+                    v = E[t].copy()
+                    v[m] -= 1
+                    v[j] += 1
+                    u = index[tuple(v)]
+                    M[t, u] += E[t, m] * L[m, j]
+        M_list.append(M)
+    return M_list
+
+
+def get_Q(
+    library: FunctionLibrary,
+    L_list: Sequence[np.ndarray],
+    sv_cutoff: float = 5e-3,
+) -> Tuple[np.ndarray, bool]:
+    """Null-space basis Q of the stacked equivariance constraints.
+
+    Returns (Q, use_kron_product). Q has shape (d*p, r); its columns span
+    {vec(Xi) : L_i Xi = Xi M_i for all i}, in the vec convention picked by the
+    (reference-faithful) invertibility branch of the LAST L (sindy.py:85-106).
+    """
+    M_list = get_M_list(library, L_list)
+    d = library.dim
+    p = M_list[0].shape[0]
+    C_list = []
+    use_kron = False
+    for L, M in zip(L_list, M_list):
+        L = np.asarray(L, dtype=np.float64)
+        if np.linalg.det(L) < 1e-5:
+            use_kron = False
+            MT = M.T
+            C = np.kron(-MT, np.eye(d)) + np.kron(np.eye(p), L)
+        else:
+            # "when L is invertible, this somehow leads to better stability in
+            # equation discovery" (reference sindy.py:94)
+            use_kron = True
+            C = np.kron(np.linalg.inv(L), M.T)
+            C = C - np.eye(C.shape[0])
+        C_list.append(C)
+    C_total = np.concatenate(C_list, axis=0)
+    _, Sigma, Vt = np.linalg.svd(C_total)
+    V = Vt.T
+    # Count trailing singular values <= cutoff (reference sindy.py:101-104).
+    r = 0
+    for r in range(len(Sigma)):
+        if abs(Sigma[-1 - r]) > sv_cutoff:
+            break
+    Q = V[:, V.shape[1] - r:]
+    return np.asarray(Q, dtype=np.float32), use_kron
+
+
+def q_row_major(Q: np.ndarray, d: int, p: int, use_kron: bool) -> np.ndarray:
+    """Re-index Q rows to the ROW-major vec(Xi) convention used by the direct
+    STLSQ solver's mask flattening (reference sindy.py:273,282 uses
+    mask.flatten(), which is row-major).
+
+    The reference indexes Q[mask.flatten()] regardless of which vec convention
+    get_Q produced; for the Sylvester (column-major) branch that mixes
+    conventions. We normalize instead — identical to the reference on the
+    Kronecker branch (the one exercised by every shipped config), well-defined
+    on both.
+    """
+    if use_kron:
+        return Q
+    perm = np.arange(d * p).reshape(p, d).T.reshape(-1)  # row-major pos -> col-major row
+    return Q[perm]
+
+
+def xi_from_beta(
+    Q: jnp.ndarray,
+    beta: jnp.ndarray,
+    const: jnp.ndarray,
+    d: int,
+    p: int,
+    use_kron: bool,
+    allow_constant: bool,
+) -> jnp.ndarray:
+    """Xi = unvec(Q beta) [+ constant column] (reference sindy.py:169-176)."""
+    v = Q @ beta
+    if use_kron:
+        Xi = v.reshape(d, p)
+    else:
+        Xi = v.reshape(p, d).T
+    if allow_constant:
+        pad = jnp.zeros((d, p - 1), dtype=Xi.dtype)
+        Xi = Xi + jnp.concatenate([const.reshape(d, 1), pad], axis=1)
+    return Xi

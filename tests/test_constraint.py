@@ -1,0 +1,108 @@
+"""Tests for the closed-form equivariance constraint (ops/constraint.py)
+against sympy ground truth and analytic expectations."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from symmetry_ode_discovery_tpu.ops.constraint import get_M_list, get_Q, xi_from_beta
+from symmetry_ode_discovery_tpu.ops.library import FunctionLibrary
+
+
+def sympy_M_list(latent_dim, poly_order, L_list):
+    """Reference construction (sindy.py:123-166), transcribed with sympy."""
+    import sympy as sp
+
+    z = sp.Matrix([sp.symbols(f"z{i}") for i in range(latent_dim)])
+    rows = [sp.Integer(1)]
+    for i in range(latent_dim):
+        rows.append(z[i])
+    if poly_order > 1:
+        for i in range(latent_dim):
+            for j in range(i, latent_dim):
+                rows.append(z[i] * z[j])
+    if poly_order > 2:
+        for i in range(latent_dim):
+            for j in range(i, latent_dim):
+                for k in range(j, latent_dim):
+                    rows.append(z[i] * z[j] * z[k])
+    Theta = sp.Matrix(rows)
+    J = Theta.jacobian(z)
+    out = []
+    for L in L_list:
+        M_temp = J * sp.Matrix(L.tolist()) * z
+        p = M_temp.shape[0]
+        M = np.zeros((p, p))
+        for j in range(p):
+            expr = M_temp[j].expand()
+            M[j, 0] = float(expr.subs({zi: 0 for zi in z}))
+            for k in range(1, p):
+                M[j, k] = float(expr.coeff(Theta[k]).subs({zi: 0 for zi in z}))
+        out.append(M)
+    return out
+
+
+@pytest.mark.parametrize("poly_order", [1, 2, 3])
+def test_M_matches_sympy(poly_order):
+    rng = np.random.default_rng(0)
+    L_list = [rng.standard_normal((2, 2)), np.array([[0.0, 1.0], [-1.0, 0.0]])]
+    lib = FunctionLibrary(2, poly_order)
+    got = get_M_list(lib, L_list)
+    want = sympy_M_list(2, poly_order, L_list)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-10)
+
+
+def test_M_matches_sympy_3d():
+    rng = np.random.default_rng(1)
+    L_list = [rng.standard_normal((3, 3))]
+    lib = FunctionLibrary(3, 2)
+    got = get_M_list(lib, L_list)
+    want = sympy_M_list(3, 2, L_list)
+    np.testing.assert_allclose(got[0], want[0], atol=1e-10)
+
+
+def test_Q_so2_constraint_satisfied():
+    """Every Xi in the span of Q must satisfy L Xi = Xi M for so(2)."""
+    L = np.array([[0.0, 1.0], [-1.0, 0.0]])  # the reference's fixed so2 (gan.py:111)
+    lib = FunctionLibrary(2, 2)
+    Q, use_kron = get_Q(lib, [L])
+    assert use_kron  # det = 1 > 1e-5
+    M = get_M_list(lib, [L])[0]
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        beta = rng.standard_normal(Q.shape[1]).astype(np.float32)
+        Xi = np.asarray(xi_from_beta(jnp.asarray(Q), jnp.asarray(beta),
+                                     jnp.zeros((2, 1)), 2, 6, use_kron, False))
+        np.testing.assert_allclose(L @ Xi, Xi @ M, atol=2e-3)
+
+
+def test_Q_contains_dosc_truth():
+    """The dosc ground-truth Xi (rotation + damping, eval_eq.py:98-101) must lie
+    in the so(2)-constraint null space."""
+    L = np.array([[0.0, 1.0], [-1.0, 0.0]])
+    lib = FunctionLibrary(2, 2)
+    Q, use_kron = get_Q(lib, [L])
+    truth = np.array([
+        [0.0, -0.1, -1, 0.0, 0.0, 0.0],
+        [0.0, 1, -0.1, 0.0, 0.0, 0.0],
+    ], dtype=np.float32)
+    v = truth.reshape(-1) if use_kron else truth.T.reshape(-1)
+    # project v onto span(Q); residual should vanish
+    proj = Q @ (Q.T @ v)
+    np.testing.assert_allclose(proj, v, atol=1e-4)
+
+
+def test_Q_scaling2_constraint():
+    L = np.array([[2.0, 0.0], [0.0, 1.0]])  # reference gan.py:127 'scaling2'
+    lib = FunctionLibrary(2, 2)
+    Q, use_kron = get_Q(lib, [L])
+    assert use_kron
+    # growth truth (constrained run uses constrain_constant): [[0,-.3,0,0,0,.1],[0,0,1,0,0,0]]
+    truth = np.array([
+        [0.0, -0.3, 0.0, 0.0, 0.0, 0.1],
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+    ], dtype=np.float32)
+    v = truth.reshape(-1)
+    proj = Q @ (Q.T @ v)
+    np.testing.assert_allclose(proj, v, atol=1e-4)
