@@ -1,0 +1,208 @@
+"""SINDy equation discovery by L-BFGS with convergence-triggered sequential
+thresholding.
+
+TPU-native counterpart of reference train.py:617-766 (`train_SIGED_lbfgs`,
+data-space path). The reference's Python epoch loop with in-place
+mask/optimizer mutation becomes a `lax.scan` over a fixed epoch budget with a
+`done` flag — fully jittable and **vmappable over seeds**, which is what turns
+the reference's sequential 50-seed bash sweep into one batched TPU program.
+
+Optimizer mapping: torch.optim.LBFGS(lr, max_iter=20, no line search) maps to
+`optax.lbfgs` with zoom linesearch, 20 inner iterations per epoch. The outer
+control flow is preserved exactly (reference train.py:692-725):
+  - epoch := 20 L-BFGS iterations on the fixed full batch;
+  - convergence when sum of per-parameter update norms < 1e-3;
+  - on convergence: if also converged w.r.t. the params at the last
+    thresholding -> STOP; else threshold the mask, reset the optimizer,
+    remember params;
+  - every st_freq epochs without convergence: threshold + reset;
+  - NaN in params -> stop immediately (reference train.py:697-699).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.sindy import SINDyConfig
+from ..ops.constraint import xi_from_beta
+
+
+@dataclasses.dataclass(frozen=True)
+class LBFGSHParams:
+    """Static hyper-parameters of the L-BFGS discovery loop (flags of
+    reference parser_utils.py:21-94 that reach train_SIGED_lbfgs)."""
+
+    num_epochs: int = 100
+    lr_sindy: float = 1.0
+    w_sindy_x: float = 1.0
+    w_sindy_reg: float = 0.0
+    sindy_reg_type: str = "l1"  # 'l1' | 'none'
+    w_sym_reg: float = 0.0
+    st_freq: int = 100
+    threshold: float = 1e-2
+    tol: float = 1e-3
+    inner_iters: int = 20  # torch LBFGS max_iter default
+
+
+@struct.dataclass
+class LBFGSResult:
+    Xi: jnp.ndarray
+    mask: jnp.ndarray
+    stop_epoch: jnp.ndarray
+    final_loss: jnp.ndarray
+
+
+def _make_param_fns(cfg: SINDyConfig, Q: Optional[jnp.ndarray]):
+    """(init_params, xi_of) for the free parameters of the regressor.
+
+    Unconstrained: {'Xi'}; constrained: {'beta'[, 'const']} with Xi derived
+    via Q (reference sindy.py:58-66,169-176).
+    """
+    d, p = cfg.latent_dim, cfg.n_terms
+
+    if not cfg.constraint:
+        def init_params(key):
+            return {"Xi": jax.random.normal(key, (d, p))}
+
+        def xi_of(params):
+            return params["Xi"]
+    else:
+        assert Q is not None
+
+        def init_params(key):
+            k1, k2 = jax.random.split(key)
+            params = {"beta": jax.random.normal(k1, (cfg.n_free,))}
+            if cfg.allow_constant:
+                params["const"] = jax.random.normal(k2, (d, 1))
+            return params
+
+        def xi_of(params):
+            const = params.get("const", jnp.zeros((d, 1)))
+            return xi_from_beta(Q, params["beta"], const, d, p,
+                                cfg.use_kron_product, cfg.allow_constant)
+
+    return init_params, xi_of
+
+
+def train_sindy_lbfgs(
+    cfg: SINDyConfig,
+    Q: Optional[jnp.ndarray],
+    x: jnp.ndarray,
+    dx: jnp.ndarray,
+    hp: LBFGSHParams,
+    key: jax.Array,
+    sym_reg_fn: Optional[Callable] = None,
+) -> LBFGSResult:
+    """Fit the regressor to one fixed batch (x, dx) by L-BFGS.
+
+    sym_reg_fn, if given, receives (forward_fn, x) where forward_fn(x) is the
+    current masked regressor, and must return a scalar penalty — the hook for
+    EquivSINDy-r's symmetry regularization (reference train.py:666-679).
+    Everything is shape-static: `jax.vmap` this over (x, dx, key) for the
+    multi-seed sweep.
+    """
+    init_params, xi_of = _make_param_fns(cfg, Q)
+    params0 = init_params(key)
+    mask0 = jnp.ones((cfg.latent_dim, cfg.n_terms))
+    theta = cfg.library(x)  # fixed batch: precompute once (the reference
+    # re-evaluates it in every closure call, train.py:663)
+
+    opt = optax.lbfgs(hp.lr_sindy)
+
+    def loss_fn(params, mask):
+        Xi = xi_of(params)
+        pred = theta @ (Xi * mask).T
+        loss = hp.w_sindy_x * jnp.mean((pred - dx) ** 2)
+        if sym_reg_fn is not None and hp.w_sym_reg > 0.0:
+            def forward_fn(xq):
+                return cfg.library(xq) @ (Xi * mask).T
+            loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x)
+        if hp.sindy_reg_type == "l1":
+            l1 = sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(params))
+            loss = loss + hp.w_sindy_reg * l1
+        elif hp.sindy_reg_type != "none":
+            raise ValueError(f"Unknown regularization type: {hp.sindy_reg_type}")
+        return loss
+
+    def lbfgs_epoch(params, opt_state, mask):
+        """20 L-BFGS iterations at fixed mask (one reference optimizer.step)."""
+
+        def fn(p):
+            return loss_fn(p, mask)
+
+        def one_iter(carry, _):
+            params, opt_state = carry
+            value, grad = optax.value_and_grad_from_state(fn)(params, state=opt_state)
+            updates, opt_state = opt.update(
+                grad, opt_state, params, value=value, grad=grad, value_fn=fn
+            )
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), value
+
+        (params, opt_state), values = jax.lax.scan(
+            one_iter, (params, opt_state), None, length=hp.inner_iters
+        )
+        return params, opt_state, values[-1]
+
+    def param_delta(a, b):
+        return sum(
+            jnp.linalg.norm(pa - pb)
+            for pa, pb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+        )
+
+    def outer_step(carry, epoch):
+        params, opt_state, prev, pprev, n_iters, mask, done, stop_epoch, last_loss = carry
+
+        new_params, new_opt_state, loss = lbfgs_epoch(params, opt_state, mask)
+        # freeze updates once done
+        new_params = jax.tree_util.tree_map(lambda n, o: jnp.where(done, o, n), new_params, params)
+
+        nan = jnp.any(jnp.stack([jnp.any(jnp.isnan(p)) for p in jax.tree_util.tree_leaves(new_params)]))
+        n_iters = n_iters + 1
+        delta = param_delta(new_params, prev)
+        conv = delta < hp.tol
+        delta2 = param_delta(new_params, pprev)
+        final_conv = jnp.logical_and(conv, delta2 < hp.tol)
+
+        if hp.st_freq > 0:
+            st_hit = n_iters % hp.st_freq == 0
+        else:
+            st_hit = jnp.array(False)
+        thresh_event = jnp.logical_and(~done, jnp.logical_and(~final_conv, jnp.logical_or(conv, st_hit)))
+
+        Xi = xi_of(new_params)
+        new_mask = jnp.where(
+            thresh_event,
+            jnp.logical_and(jnp.abs(Xi) > hp.threshold, mask > 0).astype(mask.dtype),
+            mask,
+        )
+        # optimizer reset on thresholding (reference train.py:717,723)
+        fresh_opt = opt.init(new_params)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda f, o: jnp.where(thresh_event, f, o), fresh_opt, new_opt_state
+        )
+        # pprev reset only on the convergence-triggered thresholding (train.py:718)
+        conv_thresh = jnp.logical_and(thresh_event, conv)
+        pprev = jax.tree_util.tree_map(lambda n, o: jnp.where(conv_thresh, n, o), new_params, pprev)
+        n_iters = jnp.where(thresh_event, 0, n_iters)
+
+        newly_done = jnp.logical_and(~done, jnp.logical_or(final_conv, nan))
+        stop_epoch = jnp.where(newly_done, epoch, stop_epoch)
+        done = jnp.logical_or(done, newly_done)
+        last_loss = jnp.where(done, last_loss, loss)
+
+        return (new_params, new_opt_state, new_params, pprev, n_iters, new_mask, done, stop_epoch, last_loss), None
+
+    carry0 = (
+        params0, opt.init(params0), params0, params0,
+        jnp.array(0), mask0, jnp.array(False), jnp.array(hp.num_epochs), jnp.array(jnp.inf),
+    )
+    carry, _ = jax.lax.scan(outer_step, carry0, jnp.arange(hp.num_epochs))
+    params, _, _, _, _, mask, done, stop_epoch, last_loss = carry
+    return LBFGSResult(Xi=xi_of(params), mask=mask, stop_epoch=stop_epoch, final_loss=last_loss)

@@ -1,0 +1,171 @@
+"""Multi-seed discovery sweeps as single batched TPU programs.
+
+The reference runs 50 seeds as a sequential bash loop, each seed a full
+process relaunch (reference run_scripts/*.sh). Here a sweep is `vmap` over a
+seed axis (optionally `shard_map`-ed over the device mesh, parallel/mesh.py):
+per-seed data subsampling, parameter init, the full L-BFGS/STLSQ/WSINDy fit,
+and the evaluation against ground truth all happen on device in one jit.
+
+Per-seed protocol parity:
+- SINDy/EquivSINDy (LBFGS): seed -> random permutation subset of
+  lbfgs_subsample * N samples (reference main.py:36-38 DataLoader shuffle) +
+  random param init -> train_SIGED_lbfgs -> eval (main.py:119-138).
+- WSINDy: seed -> one random trajectory, random 80%-length window
+  (reference main_wsindy.py:34-43) -> iterated weak solve -> eval.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.sindy import SINDyConfig, init_sindy, get_Xi, solve_sindy
+from ..models.wsindy import make_wsindy_matrices, solve_wsindy
+from ..training.siged import LBFGSHParams, train_sindy_lbfgs
+from ..parallel.mesh import make_mesh, shard_sweep
+
+
+def eval_coefficients_jnp(coef: jnp.ndarray, mask: jnp.ndarray, truth: jnp.ndarray):
+    """On-device version of evaluation/eval_eq.eval_sindy_coefficients
+    (reference eval_eq.py:7-34): returns (correct_form (d,), mse (d,))."""
+    mask_b = mask > 0
+    coef = jnp.where(mask_b, coef, 0.0)
+    truth_mask = truth != 0
+    correct_form = jnp.all(mask_b == truth_mask, axis=1).astype(jnp.float32)
+    tm = truth_mask.astype(coef.dtype)
+    diff2 = (coef - truth) ** 2 * tm
+    mse = jnp.sum(diff2, axis=1) / jnp.sum(tm, axis=1)
+    return correct_form, mse
+
+
+@dataclasses.dataclass
+class SweepResult:
+    Xi: np.ndarray  # (n_seeds, d, p)
+    mask: np.ndarray
+    correct_form: np.ndarray  # (n_seeds, d)
+    mse: np.ndarray
+
+    def results_list(self):
+        """Per-seed dicts in the reference npz schema, for aggregate_results."""
+        out = []
+        for i in range(self.Xi.shape[0]):
+            out.append({
+                "coefficients": self.Xi[i] * self.mask[i],
+                "correct_form": self.correct_form[i],
+                "mse": self.mse[i],
+                "correct_form_all": np.all(self.correct_form[i] > 0),
+                "mse_all": np.mean(self.mse[i]),
+            })
+        return out
+
+
+def _finalize(Xi, mask, truth) -> SweepResult:
+    cf, mse = jax.vmap(lambda c, m: eval_coefficients_jnp(c, m, jnp.asarray(truth)))(Xi, mask)
+    return SweepResult(
+        Xi=np.asarray(Xi), mask=np.asarray(mask),
+        correct_form=np.asarray(cf), mse=np.asarray(mse),
+    )
+
+
+def _maybe_shard(run_one, seeds, n_mesh_devices: Optional[int]):
+    n_dev = len(jax.devices()) if n_mesh_devices in (None, 0) else n_mesh_devices
+    n_dev = min(n_dev, len(jax.devices()))
+    if n_dev > 1 and len(seeds) % n_dev == 0:
+        mesh = make_mesh(n_dev)
+        return shard_sweep(run_one, mesh)(seeds)
+    return jax.jit(jax.vmap(run_one))(seeds)
+
+
+def sweep_sindy_lbfgs(
+    cfg: SINDyConfig,
+    Q: Optional[np.ndarray],
+    x: jnp.ndarray,
+    dx: jnp.ndarray,
+    truth: np.ndarray,
+    hp: LBFGSHParams,
+    seeds: np.ndarray,
+    lbfgs_subsample: float = 1.0,
+    n_mesh_devices: Optional[int] = None,
+) -> SweepResult:
+    """Vmapped/sharded SINDy or EquivSINDy-c discovery sweep (LBFGS path)."""
+    n = x.shape[0]
+    k = int(n * lbfgs_subsample)
+    Qj = jnp.asarray(Q) if Q is not None else None
+
+    def run_one(seed):
+        key = jax.random.PRNGKey(0)
+        key = jax.random.fold_in(key, seed)
+        kperm, kinit = jax.random.split(key)
+        idx = jax.random.permutation(kperm, n)[:k]
+        res = train_sindy_lbfgs(cfg, Qj, x[idx], dx[idx], hp, kinit)
+        return res.Xi, res.mask
+
+    Xi, mask = _maybe_shard(run_one, jnp.asarray(seeds), n_mesh_devices)
+    return _finalize(Xi, mask, truth)
+
+
+def sweep_sindy_stlsq(
+    cfg: SINDyConfig,
+    Q: Optional[np.ndarray],
+    x: jnp.ndarray,
+    dx: jnp.ndarray,
+    truth: np.ndarray,
+    seeds: np.ndarray,
+    w_sindy_reg: float = 0.0,
+    threshold: float = 5e-2,
+    subsample: float = 1.0,
+    max_iter: int = 5,
+    n_mesh_devices: Optional[int] = None,
+) -> SweepResult:
+    """Direct STLSQ sweep (reference train_SINDy, train.py:872-887)."""
+    n = x.shape[0]
+    k = int(n * subsample)
+
+    def run_one(seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        kperm, kinit = jax.random.split(key)
+        idx = jax.random.permutation(kperm, n)[:k]
+        state = init_sindy(kinit, cfg, Q)
+        state, _ = solve_sindy(cfg, state, x[idx], dx[idx], w_sindy_reg, threshold, max_iter)
+        return get_Xi(cfg, state), state.mask
+
+    Xi, mask = _maybe_shard(run_one, jnp.asarray(seeds), n_mesh_devices)
+    return _finalize(Xi, mask, truth)
+
+
+def sweep_wsindy(
+    cfg: SINDyConfig,
+    x_trajs: jnp.ndarray,  # (n_ics, n_steps, dim)
+    dt: float,
+    truth: np.ndarray,
+    seeds: np.ndarray,
+    w_sindy_reg: float = 0.0,
+    threshold: float = 5e-2,
+    num_epochs: int = 10,
+    num_test_funcs: int = 50,
+    n_mesh_devices: Optional[int] = None,
+) -> SweepResult:
+    """WSINDy sweep: per seed a random trajectory + random 80% window
+    (reference main_wsindy.py:33-43)."""
+    n_ics, n_steps, _ = x_trajs.shape
+    w = int(0.8 * n_steps)
+    t = jnp.arange(w) * dt
+    t_max = w * dt
+    mats = make_wsindy_matrices(t, float(t_max), num_test_funcs=num_test_funcs)
+
+    def run_one(seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        start = jax.random.randint(k1, (), 0, n_steps - w)
+        traj_idx = jax.random.randint(k2, (), 0, n_ics)
+        traj = jax.lax.dynamic_slice_in_dim(x_trajs[traj_idx], start, w, axis=0)
+        state = init_sindy(k3, cfg)
+        state, _ = solve_wsindy(cfg, state, mats, traj, w_sindy_reg, threshold, num_epochs)
+        return get_Xi(cfg, state), state.mask
+
+    Xi, mask = _maybe_shard(run_one, jnp.asarray(seeds), n_mesh_devices)
+    return _finalize(Xi, mask, truth)
