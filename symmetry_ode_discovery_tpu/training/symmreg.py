@@ -1,0 +1,183 @@
+"""Symmetry-regularization losses for equation discovery (EquivSINDy-r /
+EquivGP-r).
+
+Counterparts of reference model_utils.py:8-211:
+- symmreg_i: infinitesimal — || J_f(x) v_x - v_{f(x)} ||^2 per Lie basis
+  element, with v pushed through the decoder by jvp;
+- symmreg_f: finite — || f(g.x) - g.f(x) ||^2 per deterministic group element;
+- symmreg_r: reversed — for an ODE h, || J_g(x) h(x) - h(g.x) ||^2;
+- precompute_symmreg_r: g(x), J_g(x) tables for decoupled engines (the
+  genetic-programming path).
+
+All are pure functions of (ae_def, ae_params, batch_stats, spec, g_state) and
+jit/vmap/grad-compose. The autoencoder is always applied in eval mode
+(reference calls autoencoder.eval(), model_utils.py:33-34).
+
+z normalization: 'global' subtracts z_mean; when z_mean is None it uses the
+encoder's final BatchNorm beta (reference model_utils.py:44-47
+`autoencoder.encoder[-2].bias`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.autoencoder import AutoEncoderDef
+from ..models import lie_generator as lg
+from ..models.lie_generator import GeneratorSpec, GeneratorState
+
+
+def _resolve_z_mean(ae_def, ae_params, normalize, z_mean):
+    if normalize == "global" and z_mean is None:
+        z_mean = ae_def.encoder_final_bias(ae_params)
+        if z_mean is None:
+            raise ValueError("normalize='global' needs a BatchNorm final layer "
+                             "or an explicit z_mean")
+    return z_mean
+
+
+def symmreg_i(
+    ae_def: AutoEncoderDef, ae_params, batch_stats,
+    spec: GeneratorSpec, g_state: GeneratorState,
+    x_fx: jnp.ndarray,
+    f: Optional[Callable] = None,
+    dfdx: Optional[jnp.ndarray] = None,
+    normalize: str = "global",
+    z_mean: Optional[jnp.ndarray] = None,
+    relative: bool = True,
+) -> jnp.ndarray:
+    """Infinitesimal symmetry loss (reference model_utils.py:8-67).
+
+    x_fx: (batch, 2, input_dim) stacking the input and the predicted output.
+    """
+    if (f is None) == (dfdx is None):
+        raise ValueError("Exactly one of f and dfdx must be specified.")
+    z, _ = ae_def.encode(ae_params, batch_stats, x_fx, train=False)
+    x = x_fx[:, 0]
+    if normalize == "in_batch":
+        z = z - z.mean(axis=0, keepdims=True)
+    elif normalize == "global":
+        z = z - _resolve_z_mean(ae_def, ae_params, normalize, z_mean)
+    z_shape = z.shape
+
+    loss = 0.0
+    for v in lg.get_full_basis_list(spec, g_state):
+        v_z = jnp.einsum("jk,bk->bj", v, z.reshape(z_shape[0], -1)).reshape(z_shape)
+        v_x_fx = jax.jvp(lambda zz: ae_def.decode(ae_params, zz), (z,), (v_z,))[1]
+        v_x, v_fx = v_x_fx[:, 0], v_x_fx[:, 1]
+        if f is not None:
+            input_variation = jax.jvp(f, (x,), (v_x,))[1]
+        else:
+            input_variation = jnp.einsum("bjk,bk->bj", dfdx, v_x)
+        sq = jnp.mean((input_variation - v_fx) ** 2)
+        if relative:
+            sq = sq / jnp.mean(input_variation ** 2)
+        loss = loss + sq
+    return loss
+
+
+def symmreg_f(
+    ae_def: AutoEncoderDef, ae_params, batch_stats,
+    spec: GeneratorSpec, g_state: GeneratorState,
+    x_fx: jnp.ndarray,
+    f: Callable,
+    normalize: str = "global",
+    z_mean: Optional[jnp.ndarray] = None,
+    relative: bool = True,
+) -> jnp.ndarray:
+    """Finite symmetry loss (reference model_utils.py:69-124)."""
+    z, _ = ae_def.encode(ae_params, batch_stats, x_fx, train=False)
+    fx = x_fx[:, 1]
+    zm = None
+    if normalize == "in_batch":
+        zm = z.mean(axis=0, keepdims=True)
+        z = z - zm
+    elif normalize == "global":
+        zm = _resolve_z_mean(ae_def, ae_params, normalize, z_mean)
+        z = z - zm
+    z_shape = z.shape
+
+    loss = 0.0
+    for g in lg.get_deterministic_group_elems(spec, g_state):
+        g_z = jnp.einsum("jk,bk->bj", g, z.reshape(z_shape[0], -1)).reshape(z_shape)
+        g_z = g_z + zm
+        g_x_fx = ae_def.decode(ae_params, g_z)
+        g_x, g_fx = g_x_fx[:, 0], g_x_fx[:, 1]
+        f_g_x = f(g_x)
+        sq = jnp.mean((f_g_x - g_fx) ** 2)
+        if relative:
+            sq = sq / jnp.mean((f_g_x - fx) ** 2)
+        loss = loss + sq
+    return loss
+
+
+def _group_transform(ae_def, ae_params, batch_stats, g, x, normalize, z_mean):
+    """g acting on data space through the autoencoder: decode(g . encode(x))
+    component 0 (reference model_utils.py:144-158). The input is duplicated
+    across the 2 components to match the multi-timestep encoder."""
+    xx = jnp.stack([x, x], axis=1)
+    z, _ = ae_def.encode(ae_params, batch_stats, xx, train=False)
+    zm = 0.0
+    if normalize == "in_batch":
+        zm = z.mean(axis=0, keepdims=True)
+        z = z - zm
+    elif normalize == "global":
+        zm = _resolve_z_mean(ae_def, ae_params, normalize, z_mean)
+        z = z - zm
+    z_shape = z.shape
+    g_z = jnp.einsum("jk,bk->bj", g, z.reshape(z_shape[0], -1)).reshape(z_shape)
+    g_z = g_z + zm
+    g_xx = ae_def.decode(ae_params, g_z)
+    return g_xx[:, 0]
+
+
+def symmreg_r(
+    ae_def: AutoEncoderDef, ae_params, batch_stats,
+    spec: GeneratorSpec, g_state: GeneratorState,
+    x: jnp.ndarray,
+    h: Callable,
+    normalize: str = "global",
+    z_mean: Optional[jnp.ndarray] = None,
+    scale: float = 0.01,
+) -> jnp.ndarray:
+    """Reversed symmetry loss for an ODE h (reference model_utils.py:126-170)."""
+    g_list = lg.get_deterministic_group_elems(spec, g_state, scale=scale)
+    loss = 0.0
+    for g in g_list:
+        gt = partial(_group_transform, ae_def, ae_params, batch_stats, g,
+                     normalize=normalize, z_mean=z_mean)
+        gx = gt(x)
+        hx = h(x)
+        variation1 = jax.jvp(gt, (x,), (hx,))[1]
+        variation2 = h(gx)
+        loss = loss + jnp.mean((variation1 - variation2) ** 2)
+    return loss
+
+
+def precompute_symmreg_r(
+    ae_def: AutoEncoderDef, ae_params, batch_stats,
+    spec: GeneratorSpec, g_state: GeneratorState,
+    x: jnp.ndarray,
+    z_mean: Optional[jnp.ndarray] = None,
+    scale: float = 0.01,
+):
+    """Precompute (g(x), J_g(x)) per deterministic group element for decoupled
+    symmetry-regularized engines (reference model_utils.py:172-211, the
+    'beta torch.func' path — here plain vmap(jacfwd))."""
+    g_list = lg.get_deterministic_group_elems(spec, g_state, scale=scale)
+    gx_list: List[jnp.ndarray] = []
+    Jgx_list: List[jnp.ndarray] = []
+    for g in g_list:
+        gt = partial(_group_transform, ae_def, ae_params, batch_stats, g,
+                     normalize="global", z_mean=z_mean)
+        gx_list.append(gt(x))
+
+        def single(xi):
+            return gt(xi[None, :])[0]
+
+        Jgx_list.append(jax.vmap(jax.jacfwd(single))(x))
+    return gx_list, Jgx_list

@@ -1,0 +1,188 @@
+"""Tests for the LaLiGAN model family: autoencoder, Lie generator,
+discriminator, symmetry-regularization losses."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from symmetry_ode_discovery_tpu.models.autoencoder import AutoEncoderDef
+from symmetry_ode_discovery_tpu.models.discriminator import Discriminator
+from symmetry_ode_discovery_tpu.models import lie_generator as lg
+from symmetry_ode_discovery_tpu.training import symmreg
+
+
+def test_parse_repr_learned():
+    spec = lg.parse_repr("(2,1,2)", "0")
+    assert spec.n_dims == 4
+    b = spec.blocks[0]
+    assert b.n_comps == 2 and b.n_channels == 1 and b.block_dim == 2 and b.learnable
+
+
+def test_parse_repr_fixed_groups():
+    for s, dims in [("(1,so2)", 2), ("(2,sim2)", 4), ("(1,scaling2)", 2),
+                    ("(1,so3)", 3), ("(1,so3+1)", 4), ("(1,so4)", 4), ("(1,so2*r)", 2)]:
+        spec = lg.parse_repr(s, "0")
+        assert spec.n_dims == dims, s
+        assert not spec.blocks[0].learnable
+
+
+def test_parse_repr_mismatched_group_idx():
+    with pytest.raises(ValueError):
+        lg.parse_repr("(1,so2)+(1,so2)", "0")
+
+
+def test_sample_group_element_so2_is_rotation():
+    spec = lg.parse_repr("(1,so2)", "0", sigma_init=1.0)
+    state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    g = lg.sample_group_element(spec, state, jax.random.PRNGKey(1), 16)
+    assert g.shape == (16, 2, 2)
+    eye = jnp.einsum("bij,bkj->bik", g, g)  # g g^T
+    np.testing.assert_allclose(np.asarray(eye), np.tile(np.eye(2), (16, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.det(g)), 1.0, atol=1e-5)
+
+
+def test_sample_group_element_shared_blocks():
+    """'(2,1,2)': both 2x2 blocks see the same z AND the same Li -> equal."""
+    spec = lg.parse_repr("(2,1,2)", "0")
+    state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    g = lg.sample_group_element(spec, state, jax.random.PRNGKey(1), 4)
+    assert g.shape == (4, 4, 4)
+    np.testing.assert_allclose(np.asarray(g[:, :2, :2]), np.asarray(g[:, 2:, 2:]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g[:, :2, 2:]), 0.0)
+
+
+def test_full_basis_block_structure():
+    spec = lg.parse_repr("(2,so2)", "0")
+    state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    basis = lg.get_full_basis_list(spec, state)
+    assert len(basis) == 1
+    L = np.asarray(basis[0])
+    R = np.array([[0.0, 1.0], [-1.0, 0.0]])
+    np.testing.assert_allclose(L[:2, :2], R)
+    np.testing.assert_allclose(L[2:, 2:], R)
+    np.testing.assert_allclose(L[:2, 2:], 0.0)
+
+
+def test_generator_threshold_monotone():
+    spec = lg.parse_repr("(2,1,2)", "0")
+    state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    s1 = lg.set_threshold(spec, state, 0.9)
+    s2 = lg.set_threshold(spec, s1, 0.01)
+    assert np.all(np.asarray(s2.masks[0]) <= np.asarray(s1.masks[0]))
+    # the channel max always survives its own threshold < 1
+    assert np.asarray(s1.masks[0]).sum() >= 1
+
+
+def test_reg_norm_zero_for_large_Li():
+    spec = lg.parse_repr("(1,1,2)", "0")
+    state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    big = (jnp.ones((1, 2, 2)) * 10.0,)
+    state = state.replace(Li=big)
+    assert float(lg.reg_norm(spec, state)) == 0.0
+    small = (jnp.ones((1, 2, 2)) * 0.01,)
+    state = state.replace(Li=small)
+    assert float(lg.reg_norm(spec, state)) > 0.0
+
+
+def test_autoencoder_shapes_and_jvp():
+    ae = AutoEncoderDef(ae_arch="mlp", input_dim=2, hidden_dim=32, latent_dim=2,
+                        n_layers=2, n_comps=2, batch_norm=True, ortho_ae=True)
+    params, bstats = ae.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2, 2))
+    z, xhat, new_bs = ae.forward(params, bstats, x, train=True)
+    assert z.shape == (8, 2, 2) and xhat.shape == (8, 2, 2)
+    # batch stats updated in train mode
+    leaves = jax.tree_util.tree_leaves(new_bs)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+    dz = ae.compute_dz(params, bstats, x, jnp.ones_like(x))
+    assert dz.shape == z.shape
+    dx = ae.compute_dx(params, z, jnp.ones_like(z))
+    assert dx.shape == x.shape
+    assert ae.encoder_final_bias(params).shape == (2,)
+
+
+def test_ortho_dense_orthonormal():
+    from symmetry_ode_discovery_tpu.models.mlp import OrthoDense
+
+    m = OrthoDense(3)
+    params = m.init(jax.random.PRNGKey(0), jnp.ones((1, 8)))
+    V = params["params"]["V"]
+    Q, R = jnp.linalg.qr(V)
+    Q = Q * jnp.sign(jnp.diagonal(R))[None, :]
+    np.testing.assert_allclose(np.asarray(Q.T @ Q), np.eye(3), atol=1e-5)
+
+
+def test_discriminator_output_range():
+    d = Discriminator(hidden_dim=16, n_layers=2)
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 2))
+    params = d.init(jax.random.PRNGKey(1), z, None, None)["params"]
+    out = d.apply({"params": params}, z, None, None)
+    assert out.shape == (4, 1)
+    assert np.all((np.asarray(out) > 0) & (np.asarray(out) < 1))
+
+
+def _identity_ae():
+    return AutoEncoderDef(ae_arch="none", input_dim=2, latent_dim=2, n_comps=2)
+
+
+def test_symmreg_i_zero_for_equivariant_f():
+    """With identity AE and f(x) = aI + bR (commutes with the so2 action),
+    the infinitesimal symmetry loss vanishes."""
+    ae = _identity_ae()
+    spec = lg.parse_repr("(2,so2)", "0")
+    g_state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    A = 0.3 * jnp.eye(2) + 0.7 * jnp.array([[0.0, -1.0], [1.0, 0.0]])
+
+    def f(x):  # (B, 2) -> (B, 2), applied per component
+        return x @ A.T
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    fx = f(x)
+    x_fx = jnp.stack([x, fx], axis=1)
+    loss = symmreg.symmreg_i(ae, {}, {}, spec, g_state, x_fx, f=f,
+                             normalize="in_batch", relative=False)
+    assert float(loss) < 1e-10
+
+
+def test_symmreg_i_nonzero_for_nonequivariant_f():
+    ae = _identity_ae()
+    spec = lg.parse_repr("(2,so2)", "0")
+    g_state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    A = jnp.array([[1.0, 0.0], [0.0, -2.0]])  # does not commute with R
+
+    def f(x):
+        return x @ A.T
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    x_fx = jnp.stack([x, f(x)], axis=1)
+    loss = symmreg.symmreg_i(ae, {}, {}, spec, g_state, x_fx, f=f,
+                             normalize="in_batch", relative=False)
+    assert float(loss) > 1e-3
+
+
+def test_symmreg_r_zero_for_equivariant_h():
+    """Reversed loss: h(x) = a x rotations-equivariant under so2 action with
+    identity AE and no normalization."""
+    ae = _identity_ae()
+    spec = lg.parse_repr("(2,so2)", "0", sigma_init=1.0)
+    g_state = lg.init_generator(jax.random.PRNGKey(0), spec)
+
+    def h(x):
+        return x @ jnp.array([[0.0, -1.0], [1.0, 0.0]]).T
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    loss = symmreg.symmreg_r(ae, {}, {}, spec, g_state, x, h, normalize="none",
+                             scale=0.5)
+    assert float(loss) < 1e-9
+
+
+def test_precompute_symmreg_r_shapes():
+    ae = _identity_ae()
+    spec = lg.parse_repr("(2,so2)", "0")
+    g_state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    gx, Jgx = symmreg.precompute_symmreg_r(ae, {}, {}, spec, g_state, x,
+                                           z_mean=jnp.zeros(2))
+    assert len(gx) == 1 and gx[0].shape == (8, 2)
+    assert Jgx[0].shape == (8, 2, 2)
