@@ -1,0 +1,4 @@
+#!/bin/bash
+# 50-seed sweep as ONE vmapped TPU program (replaces the reference's
+# sequential per-seed bash loop)
+python -m symmetry_ode_discovery_tpu.cli.main --seed 0 --n_seeds 50 --config growth/noise05_sindy.cfg

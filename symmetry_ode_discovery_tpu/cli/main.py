@@ -1,0 +1,237 @@
+"""Main entry point: symmetry discovery and/or equation discovery.
+
+Counterpart of reference main.py. Dispatch (reference main.py:90-95):
+- mt_data            -> LaLiGAN symmetry discovery (train_lassi)
+- sindy_optimizer=lbfgs -> L-BFGS equation discovery (train_SIGED_lbfgs),
+  with optional equivariance constraint, symmetry regularization, latent
+  space, and distillation
+- otherwise          -> Adam equation discovery (train_SIGED)
+
+TPU-native extension: --n_seeds N runs the whole equation-discovery protocol
+for seeds seed..seed+N-1 as ONE vmapped program (replacing the reference's
+sequential bash loops, run_scripts/*.sh) and writes one npz per seed.
+
+Usage: python -m symmetry_ode_discovery_tpu.cli.main --config lv/noise99_sym.cfg --seed 43
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def build_models(args: dict):
+    """Construct AE def / generator spec / discriminator from flags
+    (reference main.py:42-44)."""
+    from ..models.autoencoder import AutoEncoderDef
+    from ..models.discriminator import Discriminator
+    from ..models import lie_generator as lg
+
+    ae_def = AutoEncoderDef(
+        ae_arch=args["ae_arch"], input_dim=args["input_dim"],
+        hidden_dim=args["hidden_dim"], latent_dim=args["latent_dim"],
+        n_layers=args["n_layers"], n_comps=args["n_comps"],
+        activation=args["activation"], activation_args=tuple(args["activation_args"]),
+        batch_norm=args["batch_norm"], ortho_ae=args["ortho_ae"],
+    )
+    spec = lg.parse_repr(
+        args["repr"], args["group_idx"],
+        coef_dist=args["coef_dist"], uniform_max=args["uniform_max"],
+        sigma_init=args["sigma_init"], keep_center=args["keep_center"],
+        int_param=args["int_param"], int_param_max=args["int_param_max"],
+        int_param_noise=args["int_param_noise"], gan_st_thres=args["gan_st_thres"],
+    )
+    disc = Discriminator(
+        hidden_dim=args["hidden_dim"], n_layers=args["n_layers"],
+        activation=args["activation"], activation_args=tuple(args["activation_args"]),
+        use_invariant_y=args["use_invariant_y"], embed_y=args["embed_y"],
+        y_classes=args["y_classes"], y_embed_dim=args["y_embed_dim"],
+    )
+    return ae_def, spec, disc
+
+
+def truncated_L_list(spec, g_state, n_comps: int):
+    """Equivariance-constraint wiring (reference main.py:72-76): take the full
+    padded basis and truncate each element to the per-component block."""
+    from ..models import lie_generator as lg
+
+    L_list = lg.get_full_basis_list(spec, g_state)
+    repr_dim = int(L_list[0].shape[-1]) // n_comps
+    return [np.asarray(L[:repr_dim, :repr_dim]) for L in L_list]
+
+
+def run(args: dict) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.datasets import get_dataset
+    from ..evaluation.eval_eq import eval_sindy_coefficients, save_eval_results, sindy_truth
+    from ..models import lie_generator as lg
+    from ..models.sindy import make_config
+    from ..training.lassi import LassiHParams, LassiTrainer, train_lassi
+    from ..training.siged import (
+        LBFGSHParams, LatentCtx, distill_to_data_space, make_sym_reg_fn,
+        train_sindy_lbfgs,
+    )
+    from ..training.sweep import SweepResult, _finalize
+    from ..utils import checkpoint as ckpt
+
+    seed = args["seed"]
+    key = jax.random.PRNGKey(seed)
+
+    train_ds, val_ds, args = get_dataset(args)
+    ae_def, spec, disc = build_models(args)
+
+    # ----- symmetry discovery (mt_data) -----
+    if args.get("mt_data"):
+        if hasattr(train_ds, "gather"):
+            x_train, dx_train = train_ds.gather(jnp.arange(len(train_ds)))
+            x_val, dx_val = val_ds.gather(jnp.arange(len(val_ds)))
+        else:
+            x_train, dx_train = train_ds.x, train_ds.dx
+            x_val, dx_val = val_ds.x, val_ds.dx
+        hp = LassiHParams(
+            num_epochs=args["num_epochs"], batch_size=args["batch_size"],
+            lr_ae=args["lr_ae"], lr_d=args["lr_d"], lr_g=args["lr_g"],
+            w_recon=args["w_recon"], w_gan=args["w_gan"],
+            w_reg_norm=args["w_reg_norm"], w_reg_sim=args["w_reg_sim"],
+            w_reg_ortho=args["w_reg_ortho"], w_reg_closure=args["w_reg_closure"],
+            use_original_x=args["use_original_x"],
+            gan_st_freq=args["gan_st_freq"], gan_st_thres=args["gan_st_thres"],
+            include_sindy=args["include_sindy"], eq_constraint=args["eq_constraint"],
+            poly_order=args["poly_order"], w_sindy_z=args["w_sindy_z"],
+            w_sindy_x=args["w_sindy_x"], w_sindy_reg=args["w_sindy_reg"],
+            sindy_reg_type=args["sindy_reg_type"], lr_sindy=args["lr_sindy"],
+            st_freq=args["st_freq"], threshold=args["threshold"],
+        )
+        steps_per_epoch = max(1, x_train.shape[0] // args["batch_size"])
+        trainer = LassiTrainer(ae_def, spec, disc, hp, steps_per_epoch=steps_per_epoch)
+        bundle, bstats, sindy_carry, history = train_lassi(
+            trainer, x_train, x_val, key, dx_train=dx_train, dx_val=dx_val,
+            log_interval=args["log_interval"], print_li=args["print_li"],
+        )
+        ckpt.save_laligan(args["save_dir"], bundle, bstats)
+        if args["include_sindy"]:
+            Xi = (bundle["sindy"]["Xi"] if "sindy" in bundle else sindy_carry["Xi"])
+            ckpt.save_pytree(f"saved_models/{args['save_dir']}/regressor.npz",
+                             {"Xi": Xi, "mask": sindy_carry["mask"]})
+        print(f"Saved LaLiGAN artifacts to saved_models/{args['save_dir']}")
+        return {"history": history}
+
+    # ----- equation discovery -----
+    # load pretrained LaLiGAN if requested (reference main.py:47-63)
+    k_init, key = jax.random.split(key)
+    ae_params, ae_bstats = ae_def.init(k_init)
+    k_g, key = jax.random.split(key)
+    g_state = lg.init_generator(k_g, spec)
+    if args["load_laligan"] is not None:
+        bundle = {"ae": ae_params, "d": {}, "g": g_state}
+        bundle, ae_bstats = ckpt.load_laligan(args["load_laligan"], bundle, ae_bstats)
+        ae_params, g_state = bundle["ae"], bundle["g"]
+
+    # equivariance constraint (reference main.py:72-77)
+    L_list = truncated_L_list(spec, g_state, args["n_comps"]) if args["eq_constraint"] else []
+    cfg, Q = make_config(
+        args["latent_dim"], poly_order=args["poly_order"],
+        include_sine=args["include_sine"], include_exp=args["include_exp"],
+        L_list=L_list, constrain_constant=args["constrain_constant"],
+        threshold=args["threshold"],
+    )
+    hp = LBFGSHParams(
+        num_epochs=args["num_epochs"], lr_sindy=args["lr_sindy"],
+        w_sindy_x=args["w_sindy_x"], w_sindy_reg=args["w_sindy_reg"],
+        sindy_reg_type=args["sindy_reg_type"], w_sym_reg=args["w_sym_reg"],
+        st_freq=args["st_freq"], threshold=args["threshold"],
+    )
+    if args["sindy_optimizer"] != "lbfgs":
+        raise NotImplementedError(
+            "Adam SIGED path lands with the RD pipeline; all shipped equation-"
+            "discovery configs use --sindy_optimizer lbfgs")
+
+    sym_reg_fn = None
+    if args["w_sym_reg"] > 0.0 and not args["use_latent"]:
+        sym_reg_fn = make_sym_reg_fn(ae_def, ae_params, ae_bstats, spec, g_state,
+                                     args["sym_reg_type"], args["int_t"], args["int_dt"])
+
+    latent = None
+    if args["use_latent"]:
+        latent = LatentCtx(
+            decode_jvp=lambda z, dz: ae_def.compute_dx(ae_params, z, dz),
+            w_sindy_z=args["w_sindy_z"],
+        )
+
+    x_all, dx_all = train_ds.x, train_ds.dx
+    n = x_all.shape[0]
+    k_batch = int(n * args["lbfgs_subsample"])
+
+    def run_one(seed_scalar):
+        kk = jax.random.fold_in(jax.random.PRNGKey(0), seed_scalar)
+        kperm, kfit, kdst = jax.random.split(kk, 3)
+        idx = jax.random.permutation(kperm, n)[:k_batch]
+        x, dx = x_all[idx], dx_all[idx]
+        if args["use_latent"]:
+            z, _ = ae_def.encode(ae_params, ae_bstats, x, train=False)
+            dz = ae_def.compute_dz(ae_params, ae_bstats, x, dx)
+            res = train_sindy_lbfgs(cfg, Q, z, (dz, dx), hp, kfit, latent=latent)
+            if args["distill_latent"]:
+                dz_pred = cfg.library(z) @ (res.Xi * res.mask).T
+                dx_synth = ae_def.compute_dx(ae_params, z, dz_pred)
+                cfg_dst, _ = make_config(args["input_dim"], poly_order=args["poly_order"],
+                                         include_sine=args["include_sine"],
+                                         include_exp=args["include_exp"],
+                                         threshold=args["threshold"])
+                res = distill_to_data_space(cfg_dst, x, dx_synth, hp, kdst)
+        else:
+            res = train_sindy_lbfgs(cfg, Q, x, dx, hp, kfit, sym_reg_fn=sym_reg_fn)
+        return res.Xi, res.mask
+
+    n_seeds = args.get("n_seeds", 1)
+    truth = sindy_truth.get(args["task"])
+    if n_seeds > 1:
+        seeds = jnp.arange(seed, seed + n_seeds)
+        Xi, mask = jax.jit(jax.vmap(run_one))(seeds)
+        results = _finalize(Xi, mask, truth).results_list() if truth is not None else None
+        for i, s in enumerate(range(seed, seed + n_seeds)):
+            if results is not None:
+                save_eval_results(results[i], args["save_dir"], s)
+        print(f"Swept {n_seeds} seeds -> eval_results/{args['save_dir']}")
+        return {"Xi": np.asarray(Xi), "mask": np.asarray(mask)}
+
+    Xi, mask = jax.jit(run_one)(jnp.asarray(seed))
+    from ..models.sindy import SINDyState, equation_strings
+    if args["print_eq"]:
+        st = SINDyState(Xi=Xi, mask=mask, beta=jnp.zeros(0),
+                        const=jnp.zeros((Xi.shape[0], 1)), Q=jnp.zeros((1, 0)))
+        dst_cfg, _ = make_config(Xi.shape[0], poly_order=args["poly_order"],
+                                 include_sine=cfg.include_sine and not cfg.constraint,
+                                 include_exp=cfg.include_exp and not cfg.constraint,
+                                 threshold=args["threshold"])
+        # printing uses the unconstrained layout of whichever space res lives in
+        for eq in equation_strings(dst_cfg if Xi.shape[1] == dst_cfg.n_terms else cfg, st):
+            print(eq)
+
+    ckpt.save_pytree(f"saved_models/{args['save_dir']}/regressor.npz",
+                     {"Xi": Xi, "mask": mask})
+
+    if truth is not None and not args.get("mt_data"):
+        print("\n=== Evaluation ===\n")
+        results = eval_sindy_coefficients(np.asarray(Xi), np.asarray(mask), truth)
+        print(f"Correct form: {results['correct_form']}")
+        print(f"MSE: {np.where(results['correct_form'], results['mse'], 0.0)}")
+        print(f"MSE (any): {results['mse']}")
+        save_eval_results(results, args["save_dir"], seed)
+        return results
+    return {"Xi": np.asarray(Xi), "mask": np.asarray(mask)}
+
+
+def main(argv=None):
+    from ..utils.config import get_args
+
+    args = vars(get_args(argv))
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

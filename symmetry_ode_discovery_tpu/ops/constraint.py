@@ -138,3 +138,64 @@ def xi_from_beta(
         pad = jnp.zeros((d, p - 1), dtype=Xi.dtype)
         Xi = Xi + jnp.concatenate([const.reshape(d, 1), pad], axis=1)
     return Xi
+
+
+# ---------------------------------------------------------------------------
+# On-device dynamic constraint (live update_Q during joint training,
+# reference sindy.py:117-120 + train.py:155-168)
+# ---------------------------------------------------------------------------
+
+def m_weight_tensor(library: FunctionLibrary) -> np.ndarray:
+    """Weight tensor W with M(L) = einsum('tumj,mj->tu', W, L): because M is
+    linear in L with integer coefficients (see get_M_list), it can be
+    precomputed once and contracted on device — replacing the reference's
+    sympy rebuild on every update_Q call."""
+    E = poly_exponent_table(library.dim, library.poly_order)
+    p, d = E.shape
+    index = {tuple(row): t for t, row in enumerate(E.tolist())}
+    W = np.zeros((p, p, d, d), dtype=np.float32)
+    for t in range(p):
+        for m in range(d):
+            if E[t, m] == 0:
+                continue
+            for j in range(d):
+                v = E[t].copy()
+                v[m] -= 1
+                v[j] += 1
+                u = index[tuple(v)]
+                W[t, u, m, j] += E[t, m]
+    return W
+
+
+def get_Q_padded_jnp(W: jnp.ndarray, L: jnp.ndarray, sv_cutoff: float = 5e-3):
+    """jit-able Q computation with static shapes: returns Q of shape
+    (d*p, d*p) in ROW-major vec(Xi) convention, with non-null-space columns
+    zeroed (so the usable rank is data-dependent but the shape is not).
+
+    Branch selection on det(L) follows reference sindy.py:90-98 via lax.cond.
+    """
+    import jax
+    from jax import lax
+
+    p = W.shape[0]
+    d = L.shape[0]
+    M = jnp.einsum("tumj,mj->tu", W, L)
+    det = jnp.linalg.det(L)
+
+    def kron_branch(_):
+        C = jnp.kron(jnp.linalg.inv(L), M.T) - jnp.eye(d * p, dtype=L.dtype)
+        return C
+
+    def sylvester_branch(_):
+        return jnp.kron(-M.T, jnp.eye(d, dtype=L.dtype)) + jnp.kron(jnp.eye(p, dtype=L.dtype), L)
+
+    use_kron = det >= 1e-5
+    C = lax.cond(use_kron, kron_branch, sylvester_branch, operand=None)
+    _, S, Vt = jnp.linalg.svd(C)
+    V = Vt.T
+    col_mask = (S <= sv_cutoff).astype(L.dtype)  # S sorted desc -> trailing cols
+    Q = V * col_mask[None, :]
+    # Sylvester branch produced column-major rows; permute to row-major.
+    perm = jnp.arange(d * p).reshape(p, d).T.reshape(-1)
+    Q_rm = lax.cond(use_kron, lambda q: q, lambda q: q[perm], Q)
+    return Q_rm

@@ -60,21 +60,42 @@ class LassiHParams:
     use_original_x: bool = False
     gan_st_freq: int = 5
     gan_st_thres: float = 0.3
+    # Joint SINDy-in-latent (reference train.py:30-44,138-170; the RD pipeline)
+    include_sindy: bool = False
+    eq_constraint: bool = False
+    poly_order: int = 2
+    w_sindy_z: float = 1e-3
+    w_sindy_x: float = 1e-1
+    w_sindy_reg: float = 1e-1
+    sindy_reg_type: str = "l1"
+    lr_sindy: float = 1e-3
+    st_freq: int = 100
+    threshold: float = 0.1
 
 
 class LassiTrainer:
     """Builds the jitted epoch step; holds static model definitions."""
 
     def __init__(self, ae_def: AutoEncoderDef, spec: GeneratorSpec,
-                 disc: Discriminator, hp: LassiHParams):
+                 disc: Discriminator, hp: LassiHParams,
+                 steps_per_epoch: Optional[int] = None):
         self.ae_def = ae_def
         self.spec = spec
         self.disc = disc
         self.hp = hp
+        self.sindy_adam = hp.include_sindy and hp.w_sindy_x > 0.0
+        self.sindy_lstsq = hp.include_sindy and hp.w_sindy_x == 0.0
+        if hp.include_sindy:
+            from ..ops.library import FunctionLibrary
+            from ..ops.constraint import m_weight_tensor
+
+            self.library = FunctionLibrary(ae_def.latent_dim, hp.poly_order)
+            self.W = jnp.asarray(m_weight_tensor(self.library)) if hp.eq_constraint else None
+        self.steps_per_epoch = steps_per_epoch or 1
         self.tx = self._make_optimizer()
 
     def init(self, key: jax.Array, x_example: jnp.ndarray):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         ae_params, ae_bs = self.ae_def.init(k1)
         g_state = lg.init_generator(k2, self.spec)
         # probe latent shape for discriminator init
@@ -82,8 +103,20 @@ class LassiTrainer:
         xt = x_example[:2] if self.hp.use_original_x else None
         d_params = self.disc.init(k3, z, None, xt)["params"]
         bundle = {"ae": ae_params, "d": d_params, "g": g_state}
+
+        sindy_carry = {}
+        d_lat, p = (self.ae_def.latent_dim, self.library.n_terms) if self.hp.include_sindy else (0, 0)
+        if self.sindy_adam:
+            bundle["sindy"] = {"Xi": jax.random.normal(k4, (d_lat, p))}
+            sindy_carry = {"mask": jnp.ones((d_lat, p))}
+        elif self.sindy_lstsq:
+            sindy_carry = {"Xi": jnp.zeros((d_lat, p)), "mask": jnp.ones((d_lat, p)),
+                           "resid": jnp.asarray(0.0)}
+            if self.hp.eq_constraint:
+                sindy_carry["Q"] = jnp.zeros((d_lat * p, d_lat * p))
+                sindy_carry["L_prev"] = jnp.full((d_lat, d_lat), jnp.inf)
         opt_state = self.tx.init(bundle)
-        return bundle, ae_bs, opt_state
+        return bundle, ae_bs, opt_state, sindy_carry
 
     def _make_optimizer(self):
         hp = self.hp
@@ -91,25 +124,90 @@ class LassiTrainer:
         def label_fn(bundle):
             g_labels = lg.trainable_filter(self.spec, bundle["g"])
             g_labels = jax.tree_util.tree_map(lambda t: "g" if t else "frozen", g_labels)
-            return {
+            labels = {
                 "ae": jax.tree_util.tree_map(lambda _: "ae", bundle["ae"]),
                 "d": jax.tree_util.tree_map(lambda _: "d", bundle["d"]),
                 "g": g_labels,
             }
+            if "sindy" in bundle:
+                labels["sindy"] = jax.tree_util.tree_map(lambda _: "sindy", bundle["sindy"])
+            return labels
+
+        # torch MultiStepLR(milestones=[1,2,3], gamma=10) on the SINDy Adam
+        # (reference train.py:33): lr x10 after each of the first 3 epochs.
+        spe = self.steps_per_epoch
+        sindy_sched = optax.piecewise_constant_schedule(
+            hp.lr_sindy, {1 * spe: 10.0, 2 * spe: 10.0, 3 * spe: 10.0})
 
         return optax.multi_transform(
             {
                 "ae": optax.adam(hp.lr_ae),
                 "d": optax.adam(hp.lr_d),
                 "g": optax.adam(hp.lr_g),
+                "sindy": optax.adam(sindy_sched),
                 "frozen": optax.set_to_zero(),
             },
             label_fn,
         )
 
+    # --- joint SINDy pieces (reference train.py:138-170) ---
+
+    def _sindy_lstsq_update(self, ae_params, batch_stats, g_state, x, dx, carry, is_last):
+        """Direct latent lstsq with live Q recomputation (train.py:155-168)."""
+        from ..ops.linalg import masked_lstsq_per_dim, min_norm_lstsq, ridge_augment
+        from ..ops.constraint import get_Q_padded_jnp
+
+        hp = self.hp
+        z, _ = self.ae_def.encode(ae_params, batch_stats, x, train=False)
+        dz = self.ae_def.compute_dz(ae_params, batch_stats, x, dx)
+        z0, dz0 = z[:, 0], dz[:, 0]
+        d_lat, p = self.ae_def.latent_dim, self.library.n_terms
+
+        if hp.eq_constraint:
+            L_list = lg.get_full_basis_list(self.spec, g_state)
+            repr_dim = L_list[0].shape[-1] // self.ae_def.n_comps
+            L_trunc = jax.lax.stop_gradient(L_list[0][:repr_dim, :repr_dim])
+            drift = jnp.linalg.norm(L_trunc - carry["L_prev"])
+            recompute = jnp.logical_or(jnp.logical_or(drift > 0.1, is_last),
+                                       jnp.isinf(carry["L_prev"]).any())
+            Q = jax.lax.cond(recompute,
+                             lambda _: get_Q_padded_jnp(self.W, L_trunc),
+                             lambda _: carry["Q"], operand=None)
+            L_prev = jnp.where(recompute, L_trunc, carry["L_prev"])
+        else:
+            Q = None
+
+        # solve_SINDy (sindy.py:318-324): reset mask, iterate masked solve +
+        # threshold to fixpoint (5 idempotent iterations)
+        A, B = ridge_augment(self.library(z0), dz0, hp.w_sindy_reg)
+        mask = jnp.ones((d_lat, p))
+
+        def one_iter(carry_in, _):
+            mask, _ = carry_in
+            if hp.eq_constraint:
+                mflat = mask.reshape(-1)
+                Qm = (Q * mflat[:, None]).reshape(d_lat, p, -1)
+                AQ = jnp.einsum("mp,dpq->dmq", A, Qm).reshape(d_lat * A.shape[0], -1)
+                sol = min_norm_lstsq(AQ, B.T.reshape(-1))
+                Xi = (Q @ sol).reshape(d_lat, p)
+            else:
+                Xi = masked_lstsq_per_dim(A, B, mask)
+            new_mask = jnp.logical_and(jnp.abs(Xi) > hp.threshold, mask > 0).astype(mask.dtype)
+            return (new_mask, Xi), None
+
+        (mask, Xi), _ = jax.lax.scan(one_iter, (mask, jnp.zeros((d_lat, p))), None, length=5)
+        resid = jnp.mean((self.library(z0) @ (Xi * mask).T - dz0) ** 2)
+        new_carry = {"Xi": jax.lax.stop_gradient(Xi),
+                     "mask": jax.lax.stop_gradient(mask), "resid": resid}
+        if hp.eq_constraint:
+            new_carry["Q"] = Q
+            new_carry["L_prev"] = L_prev
+        return resid, new_carry
+
     # --- loss (reference train.py:80-174) ---
 
-    def loss_fn(self, bundle, batch_stats, x, key, train: bool = True):
+    def loss_fn(self, bundle, batch_stats, x, dx, sindy_carry, key,
+                is_last=False, train: bool = True):
         hp, spec = self.hp, self.spec
         ae_params, d_params, g_state = bundle["ae"], bundle["d"], bundle["g"]
         metrics: Dict[str, jnp.ndarray] = {}
@@ -166,12 +264,36 @@ class LassiTrainer:
         metrics["loss_d_fake"] = loss_d_fake
         loss = loss + (loss_d_real + loss_d_fake) / 2
 
-        return loss, (new_bs, metrics)
+        # --- joint SINDy (reference train.py:138-170) ---
+        new_sindy_carry = sindy_carry
+        if self.sindy_adam:
+            dz = self.ae_def.compute_dz(ae_params, batch_stats, x, dx)
+            Xi = bundle["sindy"]["Xi"] * sindy_carry["mask"]
+            dz_pred = self.library(z) @ Xi.T
+            dx_pred = self.ae_def.compute_dx(ae_params, z, dz_pred)
+            loss_sindy_z = jnp.mean((dz_pred - dz) ** 2)
+            # NOTE the reference double-applies w_sindy_x here
+            # (train.py:145,148) — reproduced for parity.
+            loss_sindy_x = hp.w_sindy_x * jnp.mean((dx_pred - dx) ** 2)
+            metrics["loss_sindy_z"] = loss_sindy_z
+            metrics["loss_sindy_x"] = loss_sindy_x
+            loss = loss + hp.w_sindy_z * loss_sindy_z + hp.w_sindy_x * loss_sindy_x
+            if hp.sindy_reg_type == "l1":
+                l1 = jnp.sum(jnp.abs(bundle["sindy"]["Xi"]))
+                metrics["loss_sindy_reg"] = l1
+                loss = loss + hp.w_sindy_reg * l1
+        elif self.sindy_lstsq:
+            resid, new_sindy_carry = self._sindy_lstsq_update(
+                ae_params, batch_stats, g_state, x, dx, sindy_carry, is_last)
+            metrics["loss_sindy_z"] = resid
+            loss = loss + hp.w_sindy_z * resid
+
+        return loss, (new_bs, new_sindy_carry, metrics)
 
     # --- one jitted epoch (scan over batches) ---
 
     @partial(jax.jit, static_argnums=0)
-    def epoch(self, bundle, batch_stats, opt_state, x_data, key):
+    def epoch(self, bundle, batch_stats, opt_state, sindy_carry, x_data, dx_data, key):
         hp = self.hp
         n = x_data.shape[0]
         n_batches = n // hp.batch_size
@@ -179,24 +301,29 @@ class LassiTrainer:
         perm = jax.random.permutation(kperm, n)[: n_batches * hp.batch_size]
         perm = perm.reshape(n_batches, hp.batch_size)
 
-        def batch_step(carry, idx):
-            bundle, bstats, opt_state, key = carry
+        def batch_step(carry, scan_in):
+            bundle, bstats, opt_state, sc, key = carry
+            i, idx = scan_in
             key, sub = jax.random.split(key)
             grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
-            (loss, (new_bs, metrics)), grads = grad_fn(bundle, bstats, x_data[idx], sub)
+            (loss, (new_bs, new_sc, metrics)), grads = grad_fn(
+                bundle, bstats, x_data[idx], dx_data[idx], sc, sub,
+                is_last=(i == n_batches - 1))
             updates, opt_state = self.tx.update(grads, opt_state, bundle)
             bundle = optax.apply_updates(bundle, updates)
-            return (bundle, new_bs, opt_state, key), metrics
+            return (bundle, new_bs, opt_state, new_sc, key), metrics
 
-        (bundle, batch_stats, opt_state, _), metrics = jax.lax.scan(
-            batch_step, (bundle, batch_stats, opt_state, kscan), perm
+        (bundle, batch_stats, opt_state, sindy_carry, _), metrics = jax.lax.scan(
+            batch_step, (bundle, batch_stats, opt_state, sindy_carry, kscan),
+            (jnp.arange(n_batches), perm)
         )
         mean_metrics = jax.tree_util.tree_map(jnp.mean, metrics)
-        return bundle, batch_stats, opt_state, mean_metrics
+        return bundle, batch_stats, opt_state, sindy_carry, mean_metrics
 
     @partial(jax.jit, static_argnums=0)
-    def eval_metrics(self, bundle, batch_stats, x, key):
-        _, (_, metrics) = self.loss_fn(bundle, batch_stats, x, key, train=False)
+    def eval_metrics(self, bundle, batch_stats, sindy_carry, x, dx, key):
+        _, (_, _, metrics) = self.loss_fn(bundle, batch_stats, x, dx, sindy_carry,
+                                          key, train=False)
         return metrics
 
 
@@ -205,24 +332,35 @@ def train_lassi(
     x_train: jnp.ndarray,
     x_val: Optional[jnp.ndarray],
     key: jax.Array,
+    dx_train: Optional[jnp.ndarray] = None,
+    dx_val: Optional[jnp.ndarray] = None,
     log_interval: int = 1,
     print_li: bool = False,
     verbose: bool = True,
 ):
-    """Run the full training loop; returns (bundle, batch_stats, history)."""
+    """Run the full training loop; returns (bundle, batch_stats, sindy_carry,
+    history)."""
     hp = trainer.hp
+    if dx_train is None:
+        dx_train = x_train  # placeholder; unused without include_sindy
     key, kinit = jax.random.split(key)
-    bundle, batch_stats, opt_state = trainer.init(kinit, x_train)
+    bundle, batch_stats, opt_state, sindy_carry = trainer.init(kinit, x_train)
     history = []
     for epoch in range(hp.num_epochs):
         key, sub = jax.random.split(key)
-        bundle, batch_stats, opt_state, metrics = trainer.epoch(
-            bundle, batch_stats, opt_state, x_train, sub
+        bundle, batch_stats, opt_state, sindy_carry, metrics = trainer.epoch(
+            bundle, batch_stats, opt_state, sindy_carry, x_train, dx_train, sub
         )
-        # sequential thresholding (train.py:195-196)
+        # sequential thresholding (train.py:195-199)
         if hp.gan_st_freq > 0 and (epoch + 1) % hp.gan_st_freq == 0:
             bundle = dict(bundle, g=lg.set_threshold(trainer.spec, bundle["g"],
                                                      hp.gan_st_thres))
+        if (trainer.sindy_adam and hp.st_freq > 0
+                and (epoch + 1) % hp.st_freq == 0):
+            Xi = bundle["sindy"]["Xi"]
+            sindy_carry = dict(sindy_carry, mask=jnp.logical_and(
+                jnp.abs(Xi) > hp.threshold, sindy_carry["mask"] > 0
+            ).astype(jnp.float32))
         metrics = {k: float(v) for k, v in metrics.items()}
         history.append(metrics)
         if verbose and (epoch + 1) % log_interval == 0:
@@ -231,10 +369,11 @@ def train_lassi(
             print(msg)
             if x_val is not None:
                 key, sub = jax.random.split(key)
-                em = trainer.eval_metrics(bundle, batch_stats, x_val, sub)
+                em = trainer.eval_metrics(bundle, batch_stats, sindy_carry, x_val,
+                                          dx_val if dx_val is not None else x_val, sub)
                 print(", ".join([f"Epoch {epoch} test"] +
                                 [f"{k}: {float(v):.4f}" for k, v in em.items()]))
             if print_li:
                 for L in lg.getLi(trainer.spec, bundle["g"]):
                     print(np.asarray(L))
-    return bundle, batch_stats, history
+    return bundle, batch_stats, sindy_carry, history

@@ -58,6 +58,18 @@ class LBFGSResult:
     final_loss: jnp.ndarray
 
 
+@dataclasses.dataclass(frozen=True)
+class LatentCtx:
+    """Latent-space discovery context (use_latent path of reference
+    train_SIGED_lbfgs, train.py:647-661): the frozen autoencoder's pushforwards.
+
+    decode_jvp(z, dz_pred) must return the data-space derivative prediction
+    J_dec(z) dz_pred (reference autoencoder.compute_dx)."""
+
+    decode_jvp: Callable
+    w_sindy_z: float = 0.0
+
+
 def _make_param_fns(cfg: SINDyConfig, Q: Optional[jnp.ndarray]):
     """(init_params, xi_of) for the free parameters of the regressor.
 
@@ -98,12 +110,22 @@ def train_sindy_lbfgs(
     hp: LBFGSHParams,
     key: jax.Array,
     sym_reg_fn: Optional[Callable] = None,
+    latent: Optional[LatentCtx] = None,
 ) -> LBFGSResult:
-    """Fit the regressor to one fixed batch (x, dx) by L-BFGS.
+    """Fit the regressor to one fixed batch by L-BFGS.
+
+    Data-space path (latent=None): x/dx are data samples; the regressor
+    predicts dx from Theta(x) (reference train.py:662-679).
+
+    Latent path (latent given): x is the PRE-ENCODED z, dx the data-space
+    derivative target is recovered through latent.decode_jvp; the loss is
+    w_sindy_z * MSE(dz_pred, dz) + w_sindy_x * MSE(J_dec(z) dz_pred, dx_data)
+    (reference train.py:647-655). Pass dx=(dz, dx_data) as a tuple.
 
     sym_reg_fn, if given, receives (forward_fn, x) where forward_fn(x) is the
     current masked regressor, and must return a scalar penalty — the hook for
-    EquivSINDy-r's symmetry regularization (reference train.py:666-679).
+    EquivSINDy-r's symmetry regularization (reference train.py:666-679; the
+    reference disables it on the latent path, train.py:656-661).
     Everything is shape-static: `jax.vmap` this over (x, dx, key) for the
     multi-seed sweep.
     """
@@ -118,11 +140,17 @@ def train_sindy_lbfgs(
     def loss_fn(params, mask):
         Xi = xi_of(params)
         pred = theta @ (Xi * mask).T
-        loss = hp.w_sindy_x * jnp.mean((pred - dx) ** 2)
-        if sym_reg_fn is not None and hp.w_sym_reg > 0.0:
-            def forward_fn(xq):
-                return cfg.library(xq) @ (Xi * mask).T
-            loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x)
+        if latent is None:
+            loss = hp.w_sindy_x * jnp.mean((pred - dx) ** 2)
+            if sym_reg_fn is not None and hp.w_sym_reg > 0.0:
+                def forward_fn(xq):
+                    return cfg.library(xq) @ (Xi * mask).T
+                loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x)
+        else:
+            dz, dx_data = dx
+            dx_pred = latent.decode_jvp(x, pred)
+            loss = (latent.w_sindy_z * jnp.mean((pred - dz) ** 2)
+                    + hp.w_sindy_x * jnp.mean((dx_pred - dx_data) ** 2))
         if hp.sindy_reg_type == "l1":
             l1 = sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(params))
             loss = loss + hp.w_sindy_reg * l1
@@ -206,3 +234,47 @@ def train_sindy_lbfgs(
     carry, _ = jax.lax.scan(outer_step, carry0, jnp.arange(hp.num_epochs))
     params, _, _, _, _, mask, done, stop_epoch, last_loss = carry
     return LBFGSResult(Xi=xi_of(params), mask=mask, stop_epoch=stop_epoch, final_loss=last_loss)
+
+
+def make_sym_reg_fn(ae_def, ae_params, batch_stats, spec, g_state,
+                    sym_reg_type: str, int_t: float, int_dt: float):
+    """Build the symmetry-regularization hook for the L-BFGS loop.
+
+    Types 'i'/'f' roll the candidate ODE out with Euler odeint and penalize
+    (in)finitesimal asymmetry of the flow map (reference train.py:667-673);
+    type 'r' penalizes the reversed symmetry defect of the vector field
+    directly (train.py:674-675).
+    """
+    from ..ops.integrators import odeint
+    from . import symmreg as sr
+
+    def fn(forward_fn, x):
+        if sym_reg_type in ("i", "f"):
+            def forward_step(q):
+                return odeint(forward_fn, q, int_t, int_dt)
+            fx = forward_step(x)
+            x_fx = jnp.stack([x, fx], axis=1)
+            if sym_reg_type == "i":
+                return sr.symmreg_i(ae_def, ae_params, batch_stats, spec, g_state,
+                                    x_fx, f=forward_step)
+            return sr.symmreg_f(ae_def, ae_params, batch_stats, spec, g_state,
+                                x_fx, f=forward_step)
+        elif sym_reg_type == "r":
+            return sr.symmreg_r(ae_def, ae_params, batch_stats, spec, g_state,
+                                x, h=forward_fn)
+        raise ValueError(f"Unknown sym_reg_type: {sym_reg_type}")
+
+    return fn
+
+
+def distill_to_data_space(
+    cfg_dst: SINDyConfig,
+    x: jnp.ndarray,
+    dx_synth: jnp.ndarray,
+    hp: LBFGSHParams,
+    key: jax.Array,
+) -> LBFGSResult:
+    """Phase 2 of reference train_SIGED_lbfgs (train.py:768-852): re-fit an
+    unconstrained regressor in data space against derivatives synthesized from
+    the frozen latent equation (dx_synth = J_dec(z) regressor(z))."""
+    return train_sindy_lbfgs(cfg_dst, None, x, dx_synth, hp, key)

@@ -1,0 +1,79 @@
+"""Checkpoint save/load: pytrees as .npz archives.
+
+Counterpart of the reference's torch.save state-dict persistence
+(train.py:260-269, main.py:108-117). Artifacts keep the reference's file
+names (autoencoder / discriminator / generator / generator_mask / regressor /
+regressor_lie_list) with .npz extension. Cross-stage resume (symmetry
+discovery -> equation discovery via --load_laligan, reference main.py:47-63)
+loads these into freshly-initialized pytrees by structure matching.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _flatten(tree: Any):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = {}
+    for path, leaf in flat:
+        key = "/".join(str(p) for p in path) or "_root"
+        out[key] = np.asarray(leaf)
+    return out, treedef
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat, _ = _flatten(tree)
+    np.savez(path, **flat)
+
+
+def load_pytree(path: str, like: Any) -> Any:
+    """Load an .npz into the structure of `like` (a template pytree with the
+    same treedef; leaf values are replaced, shapes must match)."""
+    data = np.load(path, allow_pickle=False)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for pathk, leaf in flat:
+        key = "/".join(str(p) for p in pathk) or "_root"
+        if key not in data:
+            raise KeyError(f"Checkpoint {path} missing key {key}")
+        arr = data[key]
+        if np.shape(arr) != np.shape(leaf):
+            raise ValueError(f"Shape mismatch for {key}: ckpt {np.shape(arr)} vs model {np.shape(leaf)}")
+        leaves.append(jax.numpy.asarray(arr, dtype=np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_laligan(save_dir: str, bundle, batch_stats, root: str = "saved_models") -> None:
+    """Save the LaLiGAN artifact set with reference-compatible names
+    (main.py:108-117; masks saved separately like the reference's
+    generator_mask.pt because they are buffers, not parameters)."""
+    d = os.path.join(root, save_dir)
+    save_pytree(os.path.join(d, "autoencoder.npz"),
+                {"params": bundle["ae"], "batch_stats": batch_stats})
+    save_pytree(os.path.join(d, "discriminator.npz"), bundle["d"])
+    g = bundle["g"]
+    save_pytree(os.path.join(d, "generator.npz"),
+                {"Li": g.Li, "sigma": g.sigma, "struct_const": g.struct_const})
+    save_pytree(os.path.join(d, "generator_mask.npz"), g.masks)
+
+
+def load_laligan(load_dir: str, bundle, batch_stats, root: str = "saved_models"):
+    """Restore AE + generator (+ masks) into freshly-initialized pytrees
+    (reference main.py:47-63 — the discriminator is NOT restored there)."""
+    d = os.path.join(root, load_dir)
+    ae = load_pytree(os.path.join(d, "autoencoder.npz"),
+                     {"params": bundle["ae"], "batch_stats": batch_stats})
+    g = bundle["g"]
+    gparts = load_pytree(os.path.join(d, "generator.npz"),
+                         {"Li": g.Li, "sigma": g.sigma, "struct_const": g.struct_const})
+    masks = load_pytree(os.path.join(d, "generator_mask.npz"), g.masks)
+    new_g = g.replace(Li=gparts["Li"], sigma=gparts["sigma"],
+                      struct_const=gparts["struct_const"], masks=masks)
+    new_bundle = dict(bundle, ae=ae["params"], g=new_g)
+    return new_bundle, ae["batch_stats"]

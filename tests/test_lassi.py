@@ -37,7 +37,7 @@ def test_lassi_smoke():
     hp = LassiHParams(num_epochs=3, batch_size=128, gan_st_freq=2, gan_st_thres=0.1,
                       w_gan=0.01, w_reg_norm=0.01)
     trainer = LassiTrainer(ae, spec, disc, hp)
-    bundle, bstats, history = train_lassi(trainer, x, x[:64], jax.random.PRNGKey(0),
+    bundle, bstats, _, history = train_lassi(trainer, x, x[:64], jax.random.PRNGKey(0),
                                           verbose=False)
     assert len(history) == 3
     for m in history:
@@ -59,7 +59,7 @@ def test_lassi_no_ae():
     disc = Discriminator(hidden_dim=16, n_layers=2)
     hp = LassiHParams(num_epochs=2, batch_size=128, w_recon=0.0, gan_st_freq=0)
     trainer = LassiTrainer(ae, spec, disc, hp)
-    bundle, _, history = train_lassi(trainer, x, None, jax.random.PRNGKey(0),
+    bundle, _, _, history = train_lassi(trainer, x, None, jax.random.PRNGKey(0),
                                      verbose=False)
     assert np.isfinite(history[-1]["loss_g"])
     # generator Li actually moved
