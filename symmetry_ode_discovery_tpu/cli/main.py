@@ -86,9 +86,9 @@ def run(args: dict) -> dict:
 
     # ----- symmetry discovery (mt_data) -----
     if args.get("mt_data"):
-        if hasattr(train_ds, "gather"):
-            x_train, dx_train = train_ds.gather(jnp.arange(len(train_ds)))
-            x_val, dx_val = val_ds.gather(jnp.arange(len(val_ds)))
+        if hasattr(train_ds, "materialize"):
+            x_train, dx_train = train_ds.materialize()
+            x_val, dx_val = val_ds.materialize()
         else:
             x_train, dx_train = train_ds.x, train_ds.dx
             x_val, dx_val = val_ds.x, val_ds.dx
@@ -145,11 +145,6 @@ def run(args: dict) -> dict:
         sindy_reg_type=args["sindy_reg_type"], w_sym_reg=args["w_sym_reg"],
         st_freq=args["st_freq"], threshold=args["threshold"],
     )
-    if args["sindy_optimizer"] != "lbfgs":
-        raise NotImplementedError(
-            "Adam SIGED path lands with the RD pipeline; all shipped equation-"
-            "discovery configs use --sindy_optimizer lbfgs")
-
     sym_reg_fn = None
     if args["w_sym_reg"] > 0.0 and not args["use_latent"]:
         sym_reg_fn = make_sym_reg_fn(ae_def, ae_params, ae_bstats, spec, g_state,
@@ -165,6 +160,44 @@ def run(args: dict) -> dict:
     x_all, dx_all = train_ds.x, train_ds.dx
     n = x_all.shape[0]
     k_batch = int(n * args["lbfgs_subsample"])
+
+    # ----- Adam path (reference train_SIGED, train.py:382-614) -----
+    if args["sindy_optimizer"] != "lbfgs":
+        from ..training.siged_adam import AdamHParams, SIGEDAdamTrainer, train_siged_adam
+        from ..models.sindy import SINDyState, equation_strings
+
+        ahp = AdamHParams(
+            num_epochs=args["num_epochs"], batch_size=args["batch_size"],
+            lr_sindy=args["lr_sindy"], w_sindy_z=args["w_sindy_z"],
+            w_sindy_x=args["w_sindy_x"], w_sindy_reg=args["w_sindy_reg"],
+            sindy_reg_type=args["sindy_reg_type"], w_sym_reg=args["w_sym_reg"],
+            st_freq=args["st_freq"], threshold=args["threshold"],
+            use_latent=args["use_latent"],
+        )
+        latent_fns = None
+        basis_list = None
+        if args["use_latent"]:
+            latent_fns = {
+                "encode": lambda x: ae_def.encode(ae_params, ae_bstats, x, train=False)[0],
+                "compute_dz": lambda x, dx: ae_def.compute_dz(ae_params, ae_bstats, x, dx),
+                "compute_dx": lambda z, dz: ae_def.compute_dx(ae_params, z, dz),
+            }
+            basis_list = lg.get_full_basis_list(spec, g_state)
+        tr = SIGEDAdamTrainer(cfg, jnp.asarray(Q) if Q is not None else None,
+                              ahp, sym_reg_fn=sym_reg_fn, latent_fns=latent_fns,
+                              basis_list=basis_list)
+        Xi, mask, _ = train_siged_adam(tr, x_all, dx_all, key,
+                                       verbose=args["print_eq"],
+                                       log_interval=args["log_interval"])
+        ckpt.save_pytree(f"saved_models/{args['save_dir']}/regressor.npz",
+                         {"Xi": Xi, "mask": mask})
+        truth = sindy_truth.get(args["task"])
+        if truth is not None:
+            results = eval_sindy_coefficients(np.asarray(Xi), np.asarray(mask), truth)
+            save_eval_results(results, args["save_dir"], seed)
+            print(f"Correct form: {results['correct_form']}")
+            return results
+        return {"Xi": np.asarray(Xi), "mask": np.asarray(mask)}
 
     def run_one(seed_scalar):
         kk = jax.random.fold_in(jax.random.PRNGKey(0), seed_scalar)

@@ -1,0 +1,112 @@
+"""Genetic-programming equation discovery (EquivGP-r / plain GP).
+
+Counterpart of reference main_pysr.py, with the vectorized TPU tape engine
+replacing PySR/SymbolicRegression.jl:
+- plain mode: independent per-dimension symbolic regression with MSE loss
+  (reference main_pysr.py:170-212);
+- --pysr_symmreg: two-component system with the reversed-symmetry penalty,
+  using g(x)/J_g(x) precomputed through the loaded LaLiGAN autoencoder
+  (reference main_pysr.py:59-168).
+Writes saved_models/{save_dir}/equation[s]_seed{N}.txt like the reference
+(main_pysr.py:228-243).
+
+Usage: python -m symmetry_ode_discovery_tpu.cli.main_gp --config lv/noise99_eq_gp.cfg
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+# per-task GP search-space configs (reference main_pysr.py:135-212)
+def _task_spec(task: str, n_vars: int):
+    from ..symgp.tape import ADD, SUB, MUL, EXP, TapeSpec
+
+    unary = (EXP,) if task == "lv" else ()
+    maxsize = {"lv": 25, "selkov": 40}.get(task, 25)
+    return TapeSpec(n_vars=n_vars, max_len=min(maxsize, 40),
+                    binary_ops=(ADD, SUB, MUL), unary_ops=unary)
+
+
+def run(args: dict) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.datasets import get_dataset
+    from ..symgp.evolve import GPConfig, symbolic_regression
+    from ..symgp.objective import symbolic_regression_system
+    from ..symgp.tape import tape_to_string
+    from ..training.symmreg import precompute_symmreg_r
+    from ..utils import checkpoint as ckpt
+    from .main import build_models
+
+    train_ds, _, args = get_dataset(args)
+    x_all = np.asarray(train_ds.x)
+    dx_all = np.asarray(train_ds.dx)
+    subsample_size = int(len(x_all) * args["pysr_subsample"])
+    n_vars = x_all.shape[1]
+    spec = _task_spec(args["task"], n_vars)
+    save_dir = f"saved_models/{args['save_dir']}"
+    os.makedirs(save_dir, exist_ok=True)
+
+    gx_fn = None
+    if args["pysr_symmreg"]:
+        ae_def, gspec, _ = build_models(args)
+        k = jax.random.PRNGKey(0)
+        ae_params, ae_bstats = ae_def.init(k)
+        from ..models import lie_generator as lg
+
+        g_state = lg.init_generator(k, gspec)
+        bundle = {"ae": ae_params, "d": {}, "g": g_state}
+        bundle, ae_bstats = ckpt.load_laligan(args["load_laligan"], bundle, ae_bstats)
+        ae_params, g_state = bundle["ae"], bundle["g"]
+
+        def gx_fn(x):
+            return precompute_symmreg_r(ae_def, ae_params, ae_bstats, gspec,
+                                        g_state, jnp.asarray(x))
+
+    n_seeds = args.get("n_seeds", 1)
+    seed0 = args["seed"]
+    results = []
+    for seed in range(seed0, seed0 + n_seeds):
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(x_all), subsample_size, replace=False)
+        x, dx = x_all[idx], dx_all[idx]
+        cfg = GPConfig(pop_size=args.get("pysr_bs", 1000),
+                       n_generations=40, seed=seed)
+        if args["pysr_symmreg"]:
+            gx_list, Jgx_list = gx_fn(x)
+            best, hist = symbolic_regression_system(
+                x, dx, spec, cfg,
+                gx_list=[np.asarray(g) for g in gx_list],
+                Jgx_list=[np.asarray(J) for J in Jgx_list],
+                w_sym_reg=args["w_sym_reg"], verbose=args.get("print_eq", False))
+            eqs = [tape_to_string(best[0][c], best[1][c], best[2][c])
+                   for c in range(2)]
+            with open(f"{save_dir}/equation_seed{seed}.txt", "w") as f:
+                f.write("\n".join(eqs))
+        else:
+            eqs = []
+            for d in range(dx.shape[1]):
+                best, hist = symbolic_regression(x, dx[:, d], spec, cfg)
+                eqs.append(tape_to_string(*best))
+            with open(f"{save_dir}/equations_seed{seed}.txt", "w") as f:
+                f.write("\n".join(eqs))
+        print(f"seed {seed}:")
+        for i, e in enumerate(eqs):
+            print(f"  dx{i} = {e}")
+        results.append(eqs)
+    return {"equations": results}
+
+
+def main(argv=None):
+    from ..utils.config import get_args
+
+    args = vars(get_args(argv))
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()
