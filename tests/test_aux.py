@@ -1,0 +1,96 @@
+"""Tests for auxiliary subsystems: checkpointing, long-term prediction eval,
+RD solver, profiling."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from symmetry_ode_discovery_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4)},
+            "t": (jnp.zeros(2), jnp.full((1, 1), 7.0))}
+    p = str(tmp_path / "ck.npz")
+    save_pytree(p, tree)
+    like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    out = load_pytree(p, like)
+    for a, b in zip(jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_laligan_checkpoint_roundtrip(tmp_path):
+    from symmetry_ode_discovery_tpu.models.autoencoder import AutoEncoderDef
+    from symmetry_ode_discovery_tpu.models.discriminator import Discriminator
+    from symmetry_ode_discovery_tpu.models import lie_generator as lg
+    from symmetry_ode_discovery_tpu.utils.checkpoint import load_laligan, save_laligan
+
+    ae = AutoEncoderDef(ae_arch="mlp", input_dim=2, hidden_dim=8, latent_dim=2,
+                        n_layers=1, n_comps=2, batch_norm=True)
+    params, bstats = ae.init(jax.random.PRNGKey(0))
+    spec = lg.parse_repr("(2,1,2)", "0")
+    g = lg.init_generator(jax.random.PRNGKey(1), spec)
+    g = lg.set_threshold(spec, g, 0.5)
+    bundle = {"ae": params, "d": {}, "g": g}
+    save_laligan("ckpt-test", bundle, bstats, root=str(tmp_path))
+
+    params2, bstats2 = ae.init(jax.random.PRNGKey(9))
+    g2 = lg.init_generator(jax.random.PRNGKey(9), spec)
+    bundle2 = {"ae": params2, "d": {}, "g": g2}
+    restored, rb = load_laligan("ckpt-test", bundle2, bstats2, root=str(tmp_path))
+    np.testing.assert_allclose(np.asarray(restored["g"].Li[0]), np.asarray(g.Li[0]))
+    np.testing.assert_allclose(np.asarray(restored["g"].masks[0]), np.asarray(g.masks[0]))
+    a1 = jax.tree_util.tree_leaves(bundle["ae"])
+    a2 = jax.tree_util.tree_leaves(restored["ae"])
+    for x, y in zip(a1, a2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_eval_ltp_exact_linear():
+    """Rolling out the TRUE dosc field should track the true trajectories."""
+    from symmetry_ode_discovery_tpu.data.systems import SYSTEMS, dosc
+    from symmetry_ode_discovery_tpu.evaluation.eval_ltp import eval_ltp_accuracy
+    from symmetry_ode_discovery_tpu.ops.integrators import solve_ode_batch
+
+    sys = SYSTEMS["dosc"]
+    x0 = sys.sample_ics(jax.random.PRNGKey(0), 4)
+    x, _ = solve_ode_batch(sys.f, x0, dt=0.01, num_steps=100)
+    trajs = jnp.transpose(x, (1, 0, 2))  # (n_ics, steps, dim)
+    res = eval_ltp_accuracy(dosc, trajs, task="dosc", dt=0.01)
+    assert res["x_pred"].shape == (4, 99, 2)
+    assert res["error"].mean() < 1e-6
+
+
+def test_rd_solver_small():
+    from symmetry_ode_discovery_tpu.data.rd_solver import simulate_rd
+
+    t, x, y, uf, duf = simulate_rd(n=32, T=2.0, dt=0.1)
+    assert uf.shape == (32, 32, 21)
+    assert np.isfinite(uf).all() and np.isfinite(duf).all()
+    assert np.abs(uf).max() < 2.0  # bounded lambda-omega dynamics
+    # finite-difference consistency of duf
+    fd = (uf[..., 11] - uf[..., 10]) / 0.1
+    rel = np.abs(fd - duf[..., 10]).mean() / (np.abs(duf[..., 10]).mean() + 1e-9)
+    assert rel < 0.15
+
+
+def test_rd_mat_roundtrip(tmp_path):
+    from symmetry_ode_discovery_tpu.data.datasets import ReactionDiffusionDataset
+    from symmetry_ode_discovery_tpu.data.rd_solver import generate_rd_mat
+
+    p = str(tmp_path / "reaction_diffusion.mat")
+    generate_rd_mat(p, n=16, T=2.0, dt=0.1)
+    ds = ReactionDiffusionDataset.make(mode="train", path=p)
+    assert ds.x.shape[1] == 16 * 16
+    assert len(ds) == int(0.8 * 21)
+
+
+def test_profiling_timed():
+    from symmetry_ode_discovery_tpu.utils.profiling import timed
+
+    results = {}
+    with timed("probe", results):
+        _ = (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    assert results["probe"] > 0
