@@ -19,3 +19,21 @@ reference's sequential bash loops.
 """
 
 __version__ = "0.1.0"
+
+# Numerical-precision default: TPU matmuls use bfloat16 inputs unless told
+# otherwise, which quantizes discovered coefficients (observed: Q @ beta
+# reconstructions landing exactly on the bf16 grid and L-BFGS convergence
+# degrading). Equation discovery is small dense linear algebra where
+# coefficient accuracy IS the product, so this framework defaults matmuls to
+# float32. Opt back into fast bf16 per-call with
+# `with jax.default_matmul_precision('bfloat16'): ...`, or globally via
+# SODT_MATMUL_PRECISION=default.
+import os as _os
+
+if _os.environ.get("SODT_MATMUL_PRECISION", "float32") != "default":
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_default_matmul_precision",
+        _os.environ.get("SODT_MATMUL_PRECISION", "float32"),
+    )

@@ -64,7 +64,27 @@ def gp_smooth_apply(t, Y, noise_level, sigma_in, dtype=jnp.float32):
     return K @ Z, D @ Z
 
 
-def num_diff_gp(x, dt, noise_level, std_base, sigma_in=None, use_x64=True):
+def _gp_smooth_apply_f64_host(t, Y, noise_level, sigma_in):
+    """float64 host (numpy/scipy) variant of gp_smooth_apply. The kernel
+    condition number is ~(1 + lambda_max/noise^2); at low noise levels (e.g.
+    growth's 0.05 -> cond ~2.5e4) float32 Cholesky visibly corrupts the
+    derivative, so the precision-critical path runs in f64 like the
+    reference's numpy pipeline (smoothing.py uses np.linalg.inv in f64)."""
+    import scipy.linalg as sla
+
+    t = np.asarray(t, np.float64)
+    Y = np.asarray(Y, np.float64)
+    d2 = (t[:, None] - t[None, :]) ** 2
+    K = np.exp(-d2 / (2 * sigma_in ** 2))
+    K2 = np.exp(-((t + 1e-3)[:, None] - t[None, :]) ** 2 / (2 * sigma_in ** 2))
+    D = (K2 - K) / 1e-3
+    A = K + noise_level ** 2 * np.eye(t.shape[0])
+    cf = sla.cho_factor(A, lower=True)
+    Z = sla.cho_solve(cf, Y)
+    return K @ Z, D @ Z
+
+
+def num_diff_gp(x, dt, noise_level, std_base, sigma_in=None, engine="auto"):
     """GP-smooth x and differentiate numerically.
 
     Args:
@@ -76,22 +96,29 @@ def num_diff_gp(x, dt, noise_level, std_base, sigma_in=None, use_x64=True):
             reference smoothing.py:157-196).
         sigma_in: kernel length scale; defaults to dt as in the reference
             (smoothing.py:30-33).
-        use_x64: solve the T x T system in float64 (on CPU backends); float32
-            is adequate on TPU because the noise jitter keeps the system
-            well-conditioned (cond ~ (1 + noise^-2)).
+        engine: 'f64' (host numpy, exact parity with the reference's f64
+            pipeline), 'f32' (on-device, fast but requires noise_level large
+            enough that cond ~ noise^-2 stays within f32), or 'auto'
+            (f32 on device when noise_level >= 0.15, else f64 host).
 
     Returns:
         (dxdt, x_smooth), matching the reference's (dX, X_sample) return order
         (smoothing.py:157-196).
     """
     seq_len, n_trajs, input_dim = x.shape
-    t = jnp.arange(seq_len) * dt
     if sigma_in is None:
         sigma_in = dt
-    dtype = jnp.float64 if (use_x64 and jax.config.read("jax_enable_x64")) else jnp.float32
+    if engine == "auto":
+        engine = "f32" if noise_level >= 0.15 else "f64"
 
     Y = x.reshape(seq_len, n_trajs * input_dim)
-    Ys, Yd = gp_smooth_apply(t, Y, noise_level, sigma_in, dtype=dtype)
+    if engine == "f64":
+        t = np.arange(seq_len) * dt
+        Ys, Yd = _gp_smooth_apply_f64_host(t, np.asarray(Y), noise_level, sigma_in)
+        Ys, Yd = jnp.asarray(Ys, jnp.float32), jnp.asarray(Yd, jnp.float32)
+    else:
+        t = jnp.arange(seq_len) * dt
+        Ys, Yd = gp_smooth_apply(t, Y, noise_level, sigma_in, dtype=jnp.float32)
     x_smooth = Ys.reshape(seq_len, n_trajs, input_dim)
     dxdt = Yd.reshape(seq_len, n_trajs, input_dim)
     return dxdt.astype(jnp.float32), x_smooth.astype(jnp.float32)
