@@ -43,7 +43,7 @@ def main():
 
     def run():
         return sweep_sindy_lbfgs(cfg, None, x, dx, sindy_truth["lv"], hp,
-                                 seeds, lbfgs_subsample=0.01)
+                                 seeds, lbfgs_subsample=0.01, backend="pallas")
 
     # Warmup: compile (first compile through the TPU tunnel is slow and not
     # representative of sweep throughput).

@@ -136,6 +136,19 @@ def train_sindy_lbfgs(
     theta = cfg.library(x)  # fixed batch: precompute once (the reference
     # re-evaluates it in every closure call, train.py:663)
 
+    # Normal-equation reduction: with a FIXED batch and no symmetry penalty,
+    # mean((Theta Xi^T - dx)^2) = (tr(Xi S Xi^T) - 2<Xi, b^T> + q) / (N d)
+    # with S = Theta^T Theta (p x p), b = Theta^T dx, q = sum(dx^2) — computed
+    # once, so every L-BFGS evaluation costs O(p^2 d) instead of O(N p d).
+    # Identical loss and gradient; ~2500x fewer FLOPs per iteration at the
+    # shipped subsample sizes.
+    use_normal_eq = (latent is None) and (sym_reg_fn is None or hp.w_sym_reg == 0.0)
+    if use_normal_eq:
+        S = theta.T @ theta
+        b_t = (theta.T @ dx).T  # (d, p)
+        q = jnp.sum(dx ** 2)
+        n_elems = dx.shape[0] * dx.shape[1]
+
     if hp.linesearch:
         opt = optax.lbfgs(hp.lr_sindy)
     else:
@@ -145,6 +158,17 @@ def train_sindy_lbfgs(
 
     def loss_fn(params, mask):
         Xi = xi_of(params)
+        if use_normal_eq:
+            Xm = Xi * mask
+            mse = (jnp.einsum("ip,pq,iq->", Xm, S, Xm)
+                   - 2.0 * jnp.sum(Xm * b_t) + q) / n_elems
+            loss = hp.w_sindy_x * mse
+            if hp.sindy_reg_type == "l1":
+                l1 = sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(params))
+                loss = loss + hp.w_sindy_reg * l1
+            elif hp.sindy_reg_type != "none":
+                raise ValueError(f"Unknown regularization type: {hp.sindy_reg_type}")
+            return loss
         pred = theta @ (Xi * mask).T
         if latent is None:
             loss = hp.w_sindy_x * jnp.mean((pred - dx) ** 2)

