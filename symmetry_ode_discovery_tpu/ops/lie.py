@@ -31,8 +31,43 @@ def so(n: int) -> jnp.ndarray:
     return jnp.asarray(L)
 
 
+def expm2x2(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form exponential of 2x2 matrices, batched over leading axes.
+
+    For M = aI + B with B traceless, B^2 = Delta I where
+    Delta = b00^2 + b01 b10, so
+        exp(M) = e^a (C(Delta) I + S(Delta) B)
+    with C = cosh(sqrt(Delta)) / S = sinh(sqrt(Delta))/sqrt(Delta) for
+    Delta >= 0 and the cos/sinc analogues for Delta < 0. Fully elementwise —
+    replaces the generic Pade-and-squaring `expm` (a chain of matmuls and
+    conds) for the 2x2 blocks that dominate LaLiGAN's group sampling
+    (reference gan.py:296 torch.matrix_exp on (batch, 2, 2)).
+    """
+    a = 0.5 * (A[..., 0, 0] + A[..., 1, 1])
+    b00 = A[..., 0, 0] - a
+    b01 = A[..., 0, 1]
+    b10 = A[..., 1, 0]
+    delta = b00 * b00 + b01 * b10
+    r = jnp.sqrt(jnp.abs(delta))
+    small = r < 1e-6
+    r_safe = jnp.where(small, 1.0, r)
+    C = jnp.where(delta >= 0, jnp.cosh(r), jnp.cos(r))
+    S_pos = jnp.sinh(r) / r_safe
+    S_neg = jnp.sin(r) / r_safe
+    S = jnp.where(small, 1.0 + delta / 6.0, jnp.where(delta >= 0, S_pos, S_neg))
+    ea = jnp.exp(a)
+    e00 = ea * (C + S * b00)
+    e01 = ea * S * b01
+    e10 = ea * S * b10
+    e11 = ea * (C - S * b00)
+    return jnp.stack([jnp.stack([e00, e01], -1), jnp.stack([e10, e11], -1)], -2)
+
+
 def expm(A: jnp.ndarray) -> jnp.ndarray:
-    """Matrix exponential, batched over all leading axes."""
+    """Matrix exponential, batched over all leading axes. 2x2 inputs use the
+    closed form (expm2x2); larger matrices fall back to scipy's Pade."""
+    if A.shape[-2:] == (2, 2):
+        return expm2x2(A)
     if A.ndim == 2:
         return jax.scipy.linalg.expm(A)
     flat = A.reshape((-1,) + A.shape[-2:])
