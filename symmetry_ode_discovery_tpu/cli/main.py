@@ -144,6 +144,10 @@ def run(args: dict) -> dict:
         w_sindy_x=args["w_sindy_x"], w_sindy_reg=args["w_sindy_reg"],
         sindy_reg_type=args["sindy_reg_type"], w_sym_reg=args["w_sym_reg"],
         st_freq=args["st_freq"], threshold=args["threshold"],
+        # symmetry-regularized losses: fixed-lr L-BFGS (torch semantics).
+        # The zoom linesearch embeds the large symreg autodiff graph several
+        # times per iteration and blows up compile time/memory.
+        linesearch=not (args["w_sym_reg"] > 0.0),
     )
     sym_reg_fn = None
     if args["w_sym_reg"] > 0.0 and not args["use_latent"]:
@@ -223,8 +227,37 @@ def run(args: dict) -> dict:
     n_seeds = args.get("n_seeds", 1)
     truth = sindy_truth.get(args["task"])
     if n_seeds > 1:
+        plain = (sym_reg_fn is None and not args["use_latent"]
+                 and not args["distill_latent"])
+        if plain and truth is not None:
+            # plain / constrained sweeps ride the fused Pallas kernel on TPU
+            from ..training.sweep import sweep_sindy_lbfgs
+
+            res = sweep_sindy_lbfgs(cfg, Q, x_all, dx_all, truth, hp,
+                                    np.arange(seed, seed + n_seeds),
+                                    lbfgs_subsample=args["lbfgs_subsample"])
+            for i, s in enumerate(range(seed, seed + n_seeds)):
+                save_eval_results(res.results_list()[i], args["save_dir"], s)
+            print(f"Swept {n_seeds} seeds -> eval_results/{args['save_dir']}")
+            return {"Xi": res.Xi, "mask": res.mask}
         seeds = jnp.arange(seed, seed + n_seeds)
-        Xi, mask = jax.jit(jax.vmap(run_one))(seeds)
+        sweep_fn = jax.jit(jax.vmap(run_one))
+        if sym_reg_fn is not None or args["use_latent"]:
+            # symmetry-regularized / latent losses hold large autodiff graphs
+            # per seed; run the vmapped sweep in HBM-sized chunks (the jitted
+            # function is compiled once and reused across chunks)
+            chunk = max(1, min(n_seeds, args.get("seed_chunk", 10)))
+            chunk = min(chunk, n_seeds)
+            parts = []
+            for lo in range(0, n_seeds - n_seeds % chunk, chunk):
+                parts.append(sweep_fn(seeds[lo:lo + chunk]))
+            rem = n_seeds % chunk
+            if rem:
+                parts.append(jax.jit(jax.vmap(run_one))(seeds[n_seeds - rem:]))
+            Xi = jnp.concatenate([p[0] for p in parts], axis=0)
+            mask = jnp.concatenate([p[1] for p in parts], axis=0)
+        else:
+            Xi, mask = sweep_fn(seeds)
         results = _finalize(Xi, mask, truth).results_list() if truth is not None else None
         for i, s in enumerate(range(seed, seed + n_seeds)):
             if results is not None:

@@ -194,6 +194,13 @@ def train_sindy_lbfgs(
         def fn(p):
             return loss_fn(p, mask)
 
+        if sym_reg_fn is not None and hp.w_sym_reg > 0.0:
+            # The symmetry penalty differentiates through autoencoder JVPs and
+            # odeint rollouts; without rematerialization the L-BFGS scan keeps
+            # every iteration's multi-GB activation graph alive and OOMs HBM
+            # on vmapped sweeps.
+            fn = jax.checkpoint(fn)
+
         if hp.linesearch:
             def one_iter(carry, _):
                 params, opt_state = carry

@@ -113,6 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     parser.add_argument("--n_seeds", type=int, default=1,
                         help="run a vmapped multi-seed sweep (seeds seed..seed+n_seeds-1)")
+    parser.add_argument("--seed_chunk", type=int, default=10,
+                        help="max seeds vmapped at once for memory-heavy (symreg/latent) sweeps")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="shard the seed sweep over this many devices (0 = all)")
     return parser
