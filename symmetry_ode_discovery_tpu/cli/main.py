@@ -241,13 +241,46 @@ def run(args: dict) -> dict:
             print(f"Swept {n_seeds} seeds -> eval_results/{args['save_dir']}")
             return {"Xi": res.Xi, "mask": res.mask}
         seeds = jnp.arange(seed, seed + n_seeds)
-        sweep_fn = jax.jit(jax.vmap(run_one))
-        if sym_reg_fn is not None or args["use_latent"]:
-            # symmetry-regularized / latent losses hold large autodiff graphs
-            # per seed; run the vmapped sweep in HBM-sized chunks (the jitted
-            # function is compiled once and reused across chunks)
+        if sym_reg_fn is not None and not args["use_latent"]:
+            # Symmetry-regularized sweep: host-stepped epochs (a fused
+            # 100-epoch program with the symreg autodiff graph exceeds the TPU
+            # runtime watchdog) in HBM-sized seed chunks; every jitted piece
+            # is compiled once and reused across chunks.
+            from ..training.siged import make_lbfgs_stepper
+
+            Qj = jnp.asarray(Q) if Q is not None else None
+            init_f, step_f, extract_f = make_lbfgs_stepper(cfg, Qj, hp, sym_reg_fn)
+
+            def prep_seed(s):
+                kk = jax.random.fold_in(jax.random.PRNGKey(0), s)
+                kperm, kfit, _ = jax.random.split(kk, 3)
+                idx = jax.random.permutation(kperm, n)[:k_batch]
+                return x_all[idx], dx_all[idx], kfit
+
+            prep_j = jax.jit(jax.vmap(prep_seed))
+            init_j = jax.jit(jax.vmap(init_f))
+            step_j = jax.jit(jax.vmap(step_f, in_axes=(0, None)))
+            ext_j = jax.jit(jax.vmap(extract_f))
             chunk = max(1, min(n_seeds, args.get("seed_chunk", 10)))
-            chunk = min(chunk, n_seeds)
+            parts = []
+            for lo in range(0, n_seeds, chunk):
+                sub = seeds[lo:lo + chunk]
+                if len(sub) != chunk:  # keep shapes static for jit reuse
+                    sub = jnp.concatenate([sub, sub[-1:].repeat(chunk - len(sub))])
+                    keep = len(seeds[lo:lo + chunk])
+                else:
+                    keep = chunk
+                xs, dxs, keys = prep_j(sub)
+                carry = init_j(xs, dxs, keys)
+                for e in range(hp.num_epochs):
+                    carry = step_j(carry, e)
+                Xi_c, m_c = ext_j(carry)
+                parts.append((Xi_c[:keep], m_c[:keep]))
+            Xi = jnp.concatenate([p[0] for p in parts], axis=0)
+            mask = jnp.concatenate([p[1] for p in parts], axis=0)
+        elif args["use_latent"]:
+            sweep_fn = jax.jit(jax.vmap(run_one))
+            chunk = max(1, min(n_seeds, args.get("seed_chunk", 10)))
             parts = []
             for lo in range(0, n_seeds - n_seeds % chunk, chunk):
                 parts.append(sweep_fn(seeds[lo:lo + chunk]))
@@ -257,7 +290,7 @@ def run(args: dict) -> dict:
             Xi = jnp.concatenate([p[0] for p in parts], axis=0)
             mask = jnp.concatenate([p[1] for p in parts], axis=0)
         else:
-            Xi, mask = sweep_fn(seeds)
+            Xi, mask = jax.jit(jax.vmap(run_one))(seeds)
         results = _finalize(Xi, mask, truth).results_list() if truth is not None else None
         for i, s in enumerate(range(seed, seed + n_seeds)):
             if results is not None:

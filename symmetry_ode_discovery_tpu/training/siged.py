@@ -327,3 +327,129 @@ def distill_to_data_space(
     unconstrained regressor in data space against derivatives synthesized from
     the frozen latent equation (dx_synth = J_dec(z) regressor(z))."""
     return train_sindy_lbfgs(cfg_dst, None, x, dx_synth, hp, key)
+
+
+def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
+                       sym_reg_fn: Optional[Callable] = None):
+    """Host-steppable variant of train_sindy_lbfgs for heavy (symreg) losses.
+
+    A single fused 100-epoch device program can exceed the TPU runtime's
+    execution watchdog when every L-BFGS iteration differentiates through
+    autoencoder JVPs and odeint rollouts; this splits the SAME protocol into
+    per-epoch device calls driven from the host:
+
+        init, step, extract = make_lbfgs_stepper(cfg, Q, hp, sym_reg_fn)
+        carry = jax.jit(jax.vmap(init))(xs, dxs, keys)
+        step_j = jax.jit(jax.vmap(step, in_axes=(0, None)))
+        for e in range(hp.num_epochs):
+            carry = step_j(carry, e)
+        Xi, mask = extract(carry)
+
+    Semantics identical to train_sindy_lbfgs (same epoch body); per-seed data
+    rides in the carry so the whole thing vmaps over seeds.
+    """
+    init_params, xi_of = _make_param_fns(cfg, Q)
+    if hp.linesearch:
+        opt = optax.lbfgs(hp.lr_sindy)
+    else:
+        opt = optax.lbfgs(hp.lr_sindy, linesearch=None)
+
+    def make_loss(x, dx):
+        theta = cfg.library(x)
+
+        def loss_fn(params, mask):
+            Xi = xi_of(params)
+            pred = theta @ (Xi * mask).T
+            loss = hp.w_sindy_x * jnp.mean((pred - dx) ** 2)
+            if sym_reg_fn is not None and hp.w_sym_reg > 0.0:
+                def forward_fn(xq):
+                    return cfg.library(xq) @ (Xi * mask).T
+                loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x)
+            if hp.sindy_reg_type == "l1":
+                l1 = sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(params))
+                loss = loss + hp.w_sindy_reg * l1
+            return loss
+
+        return loss_fn
+
+    def init(x, dx, key):
+        params0 = init_params(key)
+        mask0 = jnp.ones((cfg.latent_dim, cfg.n_terms))
+        return dict(
+            x=x, dx=dx, params=params0, opt_state=opt.init(params0),
+            prev=params0, pprev=params0, n_iters=jnp.array(0), mask=mask0,
+            done=jnp.array(False), stop_epoch=jnp.array(hp.num_epochs),
+            last_loss=jnp.array(jnp.inf),
+        )
+
+    def step(carry, epoch):
+        loss_fn = make_loss(carry["x"], carry["dx"])
+
+        def fn_of(mask):
+            f = lambda p: loss_fn(p, mask)
+            if sym_reg_fn is not None and hp.w_sym_reg > 0.0:
+                f = jax.checkpoint(f)
+            return f
+
+        params, opt_state, mask = carry["params"], carry["opt_state"], carry["mask"]
+        fn = fn_of(mask)
+
+        def one_iter(_, c):
+            params, opt_state = c
+            if hp.linesearch:
+                value, grad = optax.value_and_grad_from_state(fn)(params, state=opt_state)
+                updates, opt_state = opt.update(grad, opt_state, params,
+                                                value=value, grad=grad, value_fn=fn)
+            else:
+                value, grad = jax.value_and_grad(fn)(params)
+                updates, opt_state = opt.update(grad, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state)
+
+        new_params, new_opt_state = jax.lax.fori_loop(
+            0, hp.inner_iters, one_iter, (params, opt_state))
+        done = carry["done"]
+        new_params = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(done, o, n), new_params, params)
+
+        def pdelta(a, b):
+            return sum(jnp.linalg.norm(pa - pb) for pa, pb in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+        nan = jnp.any(jnp.stack([jnp.any(jnp.isnan(p))
+                                 for p in jax.tree_util.tree_leaves(new_params)]))
+        n_iters = carry["n_iters"] + 1
+        conv = pdelta(new_params, carry["prev"]) < hp.tol
+        final_conv = jnp.logical_and(conv, pdelta(new_params, carry["pprev"]) < hp.tol)
+        if hp.st_freq > 0:
+            st_hit = n_iters % hp.st_freq == 0
+        else:
+            st_hit = jnp.array(False)
+        thresh = jnp.logical_and(~done, jnp.logical_and(
+            ~final_conv, jnp.logical_or(conv, st_hit)))
+        Xi = xi_of(new_params)
+        new_mask = jnp.where(thresh,
+                             jnp.logical_and(jnp.abs(Xi) > hp.threshold,
+                                             mask > 0).astype(mask.dtype),
+                             mask)
+        fresh = opt.init(new_params)
+        new_opt_state = jax.tree_util.tree_map(
+            lambda f_, o: jnp.where(thresh, f_, o), fresh, new_opt_state)
+        conv_thresh = jnp.logical_and(thresh, conv)
+        pprev = jax.tree_util.tree_map(
+            lambda nw, o: jnp.where(conv_thresh, nw, o), new_params, carry["pprev"])
+        n_iters = jnp.where(thresh, 0, n_iters)
+        newly_done = jnp.logical_and(~done, jnp.logical_or(final_conv, nan))
+        return dict(
+            x=carry["x"], dx=carry["dx"], params=new_params,
+            opt_state=new_opt_state, prev=new_params, pprev=pprev,
+            n_iters=n_iters, mask=new_mask,
+            done=jnp.logical_or(done, newly_done),
+            stop_epoch=jnp.where(newly_done, epoch, carry["stop_epoch"]),
+            last_loss=carry["last_loss"],
+        )
+
+    def extract(carry):
+        return xi_of(carry["params"]), carry["mask"]
+
+    return init, step, extract
