@@ -17,7 +17,6 @@ Usage: python -m symmetry_ode_discovery_tpu.cli.main --config lv/noise99_sym.cfg
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 
@@ -75,7 +74,7 @@ def run(args: dict) -> dict:
         LBFGSHParams, LatentCtx, distill_to_data_space, make_sym_reg_fn,
         train_sindy_lbfgs,
     )
-    from ..training.sweep import SweepResult, _finalize
+    from ..training.sweep import _finalize
     from ..utils import checkpoint as ckpt
 
     seed = args["seed"]
@@ -108,10 +107,15 @@ def run(args: dict) -> dict:
         )
         steps_per_epoch = max(1, x_train.shape[0] // args["batch_size"])
         trainer = LassiTrainer(ae_def, spec, disc, hp, steps_per_epoch=steps_per_epoch)
+        from ..utils.metrics import MetricsLogger
+
+        logger = MetricsLogger(args["wandb_name"], config=args)
         bundle, bstats, sindy_carry, history = train_lassi(
             trainer, x_train, x_val, key, dx_train=dx_train, dx_val=dx_val,
             log_interval=args["log_interval"], print_li=args["print_li"],
+            logger=logger,
         )
+        logger.finish()
         ckpt.save_laligan(args["save_dir"], bundle, bstats)
         if args["include_sindy"]:
             Xi = (bundle["sindy"]["Xi"] if "sindy" in bundle else sindy_carry["Xi"])

@@ -125,8 +125,6 @@ def tape_valid(ops: np.ndarray) -> np.ndarray:
         is_pad = op == PAD
         ar = ARITY[op]
         ok &= is_pad | (depth >= ar)
-        # PAD after content is allowed only as suffix; content after PAD invalid
-        ok &= ~(started & is_pad & np.roll(~is_pad, 0)) | True
         depth = np.where(is_pad, depth, depth - ar + 1)
         started |= ~is_pad
     ok &= depth == 1

@@ -337,9 +337,11 @@ def train_lassi(
     log_interval: int = 1,
     print_li: bool = False,
     verbose: bool = True,
+    logger=None,
 ):
     """Run the full training loop; returns (bundle, batch_stats, sindy_carry,
-    history)."""
+    history). `logger` (utils.metrics.MetricsLogger) receives per-epoch
+    metrics — the wandb.log equivalent (reference train.py:258)."""
     hp = trainer.hp
     if dx_train is None:
         dx_train = x_train  # placeholder; unused without include_sindy
@@ -363,6 +365,8 @@ def train_lassi(
             ).astype(jnp.float32))
         metrics = {k: float(v) for k, v in metrics.items()}
         history.append(metrics)
+        if logger is not None:
+            logger.log(metrics, step=epoch)
         if verbose and (epoch + 1) % log_interval == 0:
             msg = ", ".join([f"Epoch {epoch}"] +
                             [f"{k}: {v:.4f}" for k, v in metrics.items()])

@@ -186,3 +186,38 @@ def test_precompute_symmreg_r_shapes():
                                            z_mean=jnp.zeros(2))
     assert len(gx) == 1 and gx[0].shape == (8, 2)
     assert Jgx[0].shape == (8, 2, 2)
+
+
+def test_generator_int_param_rounding():
+    """int_param reparameterization rounds Li to an integer grid (reference
+    gan.py:9-17,289-291)."""
+    spec = lg.parse_repr("(1,1,2)", "0", int_param=True, int_param_max=2,
+                         int_param_noise=0.0)
+    state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    state = state.replace(Li=(jnp.array([[[0.3, -0.6], [1.2, 0.05]]]),))
+    g = lg.sample_group_element(spec, state, jax.random.PRNGKey(1), 4)
+    assert np.isfinite(np.asarray(g)).all()
+    # effective Li entries are round(2 * Li) clipped to [-2, 2]
+    from symmetry_ode_discovery_tpu.models.lie_generator import _effective_Li
+    L = np.asarray(_effective_Li(spec, state, 0))
+    np.testing.assert_allclose(L, [[[1.0, -1.0], [2.0, 0.0]]])
+
+
+def test_generator_uniform_coef_dist():
+    spec = lg.parse_repr("(1,so2)", "0", coef_dist="uniform", uniform_max=0.5)
+    state = lg.init_generator(jax.random.PRNGKey(0), spec)
+    z = lg.sample_coefficient(spec, jax.random.PRNGKey(1), 1000, 1,
+                              state.sigma[0])
+    z = np.asarray(z)
+    assert z.min() >= -0.5 and z.max() <= 0.5
+    assert abs(z.mean()) < 0.05
+
+
+def test_discriminator_with_invariant_label():
+    d = Discriminator(hidden_dim=16, n_layers=2, use_invariant_y=True,
+                      embed_y=True, y_classes=3, y_embed_dim=4)
+    z = jax.random.normal(jax.random.PRNGKey(0), (4, 2))
+    y = jnp.array([0, 1, 2, 1])
+    params = d.init(jax.random.PRNGKey(1), z, y, None)["params"]
+    out = d.apply({"params": params}, z, y, None)
+    assert out.shape == (4, 1)
