@@ -196,7 +196,15 @@ class LassiTrainer:
             return (new_mask, Xi), None
 
         (mask, Xi), _ = jax.lax.scan(one_iter, (mask, jnp.zeros((d_lat, p))), None, length=5)
-        resid = jnp.mean((self.library(z0) @ (Xi * mask).T - dz0) ** 2)
+        # Residual loss with the SOLUTION held constant: gradients reach the
+        # autoencoder through Theta(z) and dz only. Differentiating through
+        # the masked min-norm solve would back-prop an SVD with repeated zero
+        # singular values (the padded Q) — undefined gradients, instant NaN.
+        # (The reference's loss here is torch lstsq's `residuals`, which the
+        # default gelsy/gels drivers return EMPTY — its mean is NaN on this
+        # path in the reference too; we make it well-defined instead.)
+        Xi_c = jax.lax.stop_gradient(Xi * mask)
+        resid = jnp.mean((self.library(z0) @ Xi_c.T - dz0) ** 2)
         new_carry = {"Xi": jax.lax.stop_gradient(Xi),
                      "mask": jax.lax.stop_gradient(mask), "resid": resid}
         if hp.eq_constraint:
