@@ -302,7 +302,23 @@ def run(args: dict) -> dict:
         print(f"Swept {n_seeds} seeds -> eval_results/{args['save_dir']}")
         return {"Xi": np.asarray(Xi), "mask": np.asarray(mask)}
 
-    Xi, mask = jax.jit(run_one)(jnp.asarray(seed))
+    if sym_reg_fn is not None and not args["use_latent"]:
+        # single-seed symreg also goes through the host-stepped path (a fused
+        # multi-minute device program trips the runtime watchdog)
+        from ..training.siged import make_lbfgs_stepper
+
+        Qj = jnp.asarray(Q) if Q is not None else None
+        init_f, step_f, extract_f = make_lbfgs_stepper(cfg, Qj, hp, sym_reg_fn)
+        kk = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        kperm, kfit, _ = jax.random.split(kk, 3)
+        idx = jax.random.permutation(kperm, n)[:k_batch]
+        carry = jax.jit(init_f)(x_all[idx], dx_all[idx], kfit)
+        step_j = jax.jit(step_f)
+        for e in range(hp.num_epochs):
+            carry = step_j(carry, e)
+        Xi, mask = jax.jit(extract_f)(carry)
+    else:
+        Xi, mask = jax.jit(run_one)(jnp.asarray(seed))
     from ..models.sindy import SINDyState, equation_strings
     if args["print_eq"]:
         st = SINDyState(Xi=Xi, mask=mask, beta=jnp.zeros(0),

@@ -355,6 +355,7 @@ def train_lassi(
         dx_train = x_train  # placeholder; unused without include_sindy
     key, kinit = jax.random.split(key)
     bundle, batch_stats, opt_state, sindy_carry = trainer.init(kinit, x_train)
+    prev_state = (bundle, batch_stats, opt_state, sindy_carry)
     history = []
     for epoch in range(hp.num_epochs):
         key, sub = jax.random.split(key)
@@ -372,6 +373,14 @@ def train_lassi(
                 jnp.abs(Xi) > hp.threshold, sindy_carry["mask"] > 0
             ).astype(jnp.float32))
         metrics = {k: float(v) for k, v in metrics.items()}
+        if any(np.isnan(v) for v in metrics.values()):
+            # NaN bailout, keeping the last finite state (the reference's
+            # failure model is the same: abort on NaN, train.py:697-699)
+            print(f"NaN encountered at epoch {epoch}; stopping with the last "
+                  f"finite state (epoch {epoch - 1}).")
+            bundle, batch_stats, opt_state, sindy_carry = prev_state
+            break
+        prev_state = (bundle, batch_stats, opt_state, sindy_carry)
         history.append(metrics)
         if logger is not None:
             logger.log(metrics, step=epoch)

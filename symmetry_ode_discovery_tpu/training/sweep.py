@@ -17,6 +17,7 @@ Per-seed protocol parity:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -121,10 +122,7 @@ def sweep_sindy_lbfgs(
     return _finalize(Xi, mask, truth)
 
 
-import functools as _functools
-
-
-@_functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _prep_normal_eq(cfg, k, n_params, x, dx, seeds):
     """Per-seed subsample + normal-equation reduction, jit-cached on
     (cfg, k, n_params, shapes) so repeated sweeps don't recompile."""
