@@ -1,0 +1,80 @@
+"""CLI entry-point smoke tests (tiny cached datasets, CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_dosc_cache():
+    """Write a tiny clean dosc dataset into the cache the CLI reads
+    (noise 0.0 so it cannot collide with real experiment caches)."""
+    from symmetry_ode_discovery_tpu.data.systems import SYSTEMS
+    from symmetry_ode_discovery_tpu.data.datasets import DATA_PATH
+    from symmetry_ode_discovery_tpu.ops.integrators import solve_ode_batch
+
+    os.makedirs(DATA_PATH, exist_ok=True)
+    sys_ = SYSTEMS["dosc"]
+    for mode, n in [("train", 20), ("val", 4)]:
+        x0 = sys_.sample_ics(jax.random.PRNGKey(0 if mode == "train" else 1), n)
+        x, dx = solve_ode_batch(sys_.f, x0, dt=0.05, num_steps=40)
+        np.save(f"{DATA_PATH}/dosc-{mode}-noise00-x.npy",
+                np.asarray(jnp.transpose(x, (1, 0, 2)), np.float32))
+        np.save(f"{DATA_PATH}/dosc-{mode}-noise00-dx.npy",
+                np.asarray(jnp.transpose(dx, (1, 0, 2)), np.float32))
+    return DATA_PATH
+
+
+def _args(extra):
+    from symmetry_ode_discovery_tpu.utils.config import get_args
+
+    base = ["--task", "dosc", "--noise", "0.0", "--poly_order", "2",
+            "--save_dir", "cli-smoke", "--num_epochs", "10"]
+    return vars(get_args(base + extra))
+
+
+def test_cli_main_sindy_lbfgs(tiny_dosc_cache):
+    from symmetry_ode_discovery_tpu.cli import main as m
+
+    res = m.run(_args(["--sindy_optimizer", "lbfgs", "--lr_sindy", "1.0",
+                       "--w_sindy_reg", "0.0", "--sindy_reg_type", "none",
+                       "--threshold", "5e-2", "--st_freq", "10"]))
+    assert res["correct_form"].all()
+
+
+def test_cli_main_multiseed(tiny_dosc_cache):
+    from symmetry_ode_discovery_tpu.cli import main as m
+
+    res = m.run(_args(["--sindy_optimizer", "lbfgs", "--lr_sindy", "1.0",
+                       "--w_sindy_reg", "0.0", "--sindy_reg_type", "none",
+                       "--threshold", "5e-2", "--st_freq", "10",
+                       "--n_seeds", "3"]))
+    assert res["Xi"].shape[0] == 3
+
+
+def test_cli_main_wsindy(tiny_dosc_cache):
+    from symmetry_ode_discovery_tpu.cli import main_wsindy as mw
+
+    res = mw.run(_args(["--threshold", "5e-2", "--w_sindy_reg", "0.0"]))
+    assert "results" in res
+
+
+def test_cli_main_sindy_direct(tiny_dosc_cache):
+    from symmetry_ode_discovery_tpu.cli import main_sindy as ms
+
+    res = ms.run(_args(["--threshold", "5e-2", "--w_sindy_reg", "0.0"]))
+    assert res["results"][0]["correct_form"].all()
+
+
+def test_cli_esindy_constrained(tiny_dosc_cache):
+    from symmetry_ode_discovery_tpu.cli import main as m
+
+    res = m.run(_args(["--sindy_optimizer", "lbfgs", "--lr_sindy", "1.0",
+                       "--w_sindy_reg", "0.0", "--sindy_reg_type", "none",
+                       "--threshold", "1e-2", "--st_freq", "10",
+                       "--eq_constraint", "--repr", "(1,so2)",
+                       "--ae_arch", "none", "--latent_dim", "2"]))
+    assert res["correct_form"].all()
