@@ -11,8 +11,8 @@ Counterpart of reference train.py:16-269 (`train_lassi`). Faithful semantics:
   (train.py:195-196).
 - Optional joint SINDy-in-latent: either Adam on the regressor with the x10
   lr schedule at epochs 1,2,3 (train.py:30-33), or the direct lstsq solve in
-  latent space (train.py:155-168; the live update_Q variant lands with the RD
-  pipeline).
+  latent space with live on-device Q recomputation on generator drift
+  (train.py:155-168).
 
 TPU-native structure: one jitted epoch = `lax.scan` over permuted batch
 indices; the epoch loop and logging stay in Python (tiny). Batches are random
@@ -61,6 +61,11 @@ class LassiHParams:
     gan_st_freq: int = 5
     gan_st_thres: float = 0.3
     # Joint SINDy-in-latent (reference train.py:30-44,138-170; the RD pipeline)
+    # matmul precision for the adversarial training step. bfloat16 is 4x
+    # faster on v5e but measured UNSTABLE on the LV protocol (NaN by epoch 5
+    # vs 15 clean f32 epochs) — float32 stays the default; flip per-run if
+    # your configuration tolerates it.
+    matmul_precision: str = "float32"
     include_sindy: bool = False
     eq_constraint: bool = False
     poly_order: int = 2
@@ -302,6 +307,16 @@ class LassiTrainer:
 
     @partial(jax.jit, static_argnums=0)
     def epoch(self, bundle, batch_stats, opt_state, sindy_carry, x_data, dx_data, key):
+        hp = self.hp
+        if hp.include_sindy:
+            # the joint latent lstsq needs f32 QR/SVD accuracy
+            return self._epoch_impl(bundle, batch_stats, opt_state, sindy_carry,
+                                    x_data, dx_data, key)
+        with jax.default_matmul_precision(hp.matmul_precision):
+            return self._epoch_impl(bundle, batch_stats, opt_state, sindy_carry,
+                                    x_data, dx_data, key)
+
+    def _epoch_impl(self, bundle, batch_stats, opt_state, sindy_carry, x_data, dx_data, key):
         hp = self.hp
         n = x_data.shape[0]
         n_batches = n // hp.batch_size
