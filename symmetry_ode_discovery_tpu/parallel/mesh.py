@@ -35,10 +35,8 @@ def shard_sweep(run_one: Callable, mesh: Mesh, axis: str = "seed") -> Callable:
     The number of seeds must be divisible by the mesh size; pad and slice at
     the call site otherwise.
     """
-    from jax.experimental.shard_map import shard_map
-
     local = jax.vmap(run_one)
-    sharded = shard_map(
-        local, mesh=mesh, in_specs=P(axis), out_specs=P(axis), check_rep=False
+    sharded = jax.shard_map(
+        local, mesh=mesh, in_specs=P(axis), out_specs=P(axis), check_vma=False
     )
     return jax.jit(sharded)
