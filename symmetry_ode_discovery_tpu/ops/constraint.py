@@ -172,30 +172,42 @@ def get_Q_padded_jnp(W: jnp.ndarray, L: jnp.ndarray, sv_cutoff: float = 5e-3):
     (d*p, d*p) in ROW-major vec(Xi) convention, with non-null-space columns
     zeroed (so the usable rank is data-dependent but the shape is not).
 
-    Branch selection on det(L) follows reference sindy.py:90-98 via lax.cond.
+    L may be a single (d, d) generator or a (c, d, d) channel stack; the
+    stacked constraint (null space of all channels simultaneously) matches
+    host-side get_Q / reference sindy.py:85-106, where the per-channel C
+    matrices are concatenated before the SVD. Branch selection on det(L_i)
+    follows reference sindy.py:90-98 via lax.cond; the output vec convention
+    follows the LAST channel's branch, as in get_Q.
     """
-    import jax
     from jax import lax
 
+    if L.ndim == 2:
+        L = L[None]
     p = W.shape[0]
-    d = L.shape[0]
-    M = jnp.einsum("tumj,mj->tu", W, L)
-    det = jnp.linalg.det(L)
+    d = L.shape[-1]
+    eye_dp = jnp.eye(d * p, dtype=L.dtype)
 
-    def kron_branch(_):
-        C = jnp.kron(jnp.linalg.inv(L), M.T) - jnp.eye(d * p, dtype=L.dtype)
-        return C
+    def make_C(Li):
+        M = jnp.einsum("tumj,mj->tu", W, Li)
 
-    def sylvester_branch(_):
-        return jnp.kron(-M.T, jnp.eye(d, dtype=L.dtype)) + jnp.kron(jnp.eye(p, dtype=L.dtype), L)
+        def kron_branch(_):
+            return jnp.kron(jnp.linalg.inv(Li), M.T) - eye_dp
 
-    use_kron = det >= 1e-5
-    C = lax.cond(use_kron, kron_branch, sylvester_branch, operand=None)
-    _, S, Vt = jnp.linalg.svd(C)
+        def sylvester_branch(_):
+            return (jnp.kron(-M.T, jnp.eye(d, dtype=L.dtype))
+                    + jnp.kron(jnp.eye(p, dtype=L.dtype), Li))
+
+        use_kron = jnp.linalg.det(Li) >= 1e-5
+        return lax.cond(use_kron, kron_branch, sylvester_branch, operand=None), use_kron
+
+    pieces = [make_C(L[i]) for i in range(L.shape[0])]
+    C_total = jnp.concatenate([c for c, _ in pieces], axis=0)
+    use_kron_last = pieces[-1][1]
+    _, S, Vt = jnp.linalg.svd(C_total, full_matrices=False)
     V = Vt.T
     col_mask = (S <= sv_cutoff).astype(L.dtype)  # S sorted desc -> trailing cols
     Q = V * col_mask[None, :]
     # Sylvester branch produced column-major rows; permute to row-major.
     perm = jnp.arange(d * p).reshape(p, d).T.reshape(-1)
-    Q_rm = lax.cond(use_kron, lambda q: q, lambda q: q[perm], Q)
+    Q_rm = lax.cond(use_kron_last, lambda q: q, lambda q: q[perm], Q)
     return Q_rm

@@ -48,13 +48,20 @@ def expm2x2(A: jnp.ndarray) -> jnp.ndarray:
     b01 = A[..., 0, 1]
     b10 = A[..., 1, 0]
     delta = b00 * b00 + b01 * b10
-    r = jnp.sqrt(jnp.abs(delta))
-    small = r < 1e-6
-    r_safe = jnp.where(small, 1.0, r)
-    C = jnp.where(delta >= 0, jnp.cosh(r), jnp.cos(r))
-    S_pos = jnp.sinh(r) / r_safe
-    S_neg = jnp.sin(r) / r_safe
-    S = jnp.where(small, 1.0 + delta / 6.0, jnp.where(delta >= 0, S_pos, S_neg))
+    # Double-where so value AND gradient are finite at delta == 0 (sqrt is
+    # non-differentiable there, and the untaken cosh/sinh branch would leak
+    # NaN through a single where): evaluate the closed form only on
+    # delta_safe, and use 2nd-order Taylor (C = 1 + d/2, S = 1 + d/6) on the
+    # small branch. Threshold 1e-6 keeps the Taylor error ~d^2/24 < 1e-13
+    # while avoiding the r*cosh(r)-sinh(r) f32 cancellation in dS/dd.
+    small = jnp.abs(delta) < 1e-6
+    delta_safe = jnp.where(small, 1.0, delta)
+    r = jnp.sqrt(jnp.abs(delta_safe))
+    pos = delta_safe >= 0
+    C_big = jnp.where(pos, jnp.cosh(r), jnp.cos(r))
+    S_big = jnp.where(pos, jnp.sinh(r), jnp.sin(r)) / r
+    C = jnp.where(small, 1.0 + delta / 2.0, C_big)
+    S = jnp.where(small, 1.0 + delta / 6.0, S_big)
     ea = jnp.exp(a)
     e00 = ea * (C + S * b00)
     e01 = ea * S * b01

@@ -148,14 +148,26 @@ def breed_numpy(population, fitness: np.ndarray, rng, spec: TapeSpec, cfg: GPCon
 
 
 def _load_native():
-    """The C++ breeding core (built by symgp/native/build.sh); None if absent."""
+    """The C++ breeding core; builds it on demand via symgp/native/build.sh
+    (the .so is not version-controlled). Returns None when no toolchain is
+    available or the binary fails to load (wrong arch/ABI) — callers fall
+    back to breed_numpy."""
     import ctypes
     import os
+    import subprocess
 
-    so = os.path.join(os.path.dirname(__file__), "native", "libevolve.so")
+    native_dir = os.path.join(os.path.dirname(__file__), "native")
+    so = os.path.join(native_dir, "libevolve.so")
     if not os.path.exists(so):
+        try:
+            subprocess.run(["bash", os.path.join(native_dir, "build.sh")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
         return None
-    lib = ctypes.CDLL(so)
     lib.breed.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),

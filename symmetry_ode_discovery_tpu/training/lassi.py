@@ -118,8 +118,9 @@ class LassiTrainer:
             sindy_carry = {"Xi": jnp.zeros((d_lat, p)), "mask": jnp.ones((d_lat, p)),
                            "resid": jnp.asarray(0.0)}
             if self.hp.eq_constraint:
+                n_ch = len(lg.get_full_basis_list(self.spec, g_state))
                 sindy_carry["Q"] = jnp.zeros((d_lat * p, d_lat * p))
-                sindy_carry["L_prev"] = jnp.full((d_lat, d_lat), jnp.inf)
+                sindy_carry["L_prev"] = jnp.full((n_ch, d_lat, d_lat), jnp.inf)
         opt_state = self.tx.init(bundle)
         return bundle, ae_bs, opt_state, sindy_carry
 
@@ -169,9 +170,12 @@ class LassiTrainer:
         d_lat, p = self.ae_def.latent_dim, self.library.n_terms
 
         if hp.eq_constraint:
+            # Truncate and constrain ALL generator channels (reference
+            # train.py:160-165 / sindy.py:85-106 stack every channel's C).
             L_list = lg.get_full_basis_list(self.spec, g_state)
             repr_dim = L_list[0].shape[-1] // self.ae_def.n_comps
-            L_trunc = jax.lax.stop_gradient(L_list[0][:repr_dim, :repr_dim])
+            L_trunc = jax.lax.stop_gradient(
+                jnp.stack([Li[:repr_dim, :repr_dim] for Li in L_list]))
             drift = jnp.linalg.norm(L_trunc - carry["L_prev"])
             recompute = jnp.logical_or(jnp.logical_or(drift > 0.1, is_last),
                                        jnp.isinf(carry["L_prev"]).any())

@@ -106,3 +106,34 @@ def test_Q_scaling2_constraint():
     v = truth.reshape(-1)
     proj = Q @ (Q.T @ v)
     np.testing.assert_allclose(proj, v, atol=1e-4)
+
+
+def test_Q_padded_jnp_multichannel():
+    """Stacked (c, d, d) input must intersect the per-channel null spaces —
+    the live update path for multi-channel learnable generators
+    (reference train.py:160-165 constrains ALL channels)."""
+    from symmetry_ode_discovery_tpu.ops.constraint import get_Q_padded_jnp, m_weight_tensor
+
+    L_scale = np.array([[2.0, 0.0], [0.0, 1.0]], dtype=np.float32)  # scaling2
+    L_rot = np.array([[0.0, 1.0], [-1.0, 0.0]], dtype=np.float32)   # so(2)
+    lib = FunctionLibrary(2, 2)
+    W = jnp.asarray(m_weight_tensor(lib))
+
+    Q1 = np.asarray(get_Q_padded_jnp(W, jnp.asarray(L_scale)))
+    Q2 = np.asarray(get_Q_padded_jnp(W, jnp.stack([jnp.asarray(L_scale),
+                                                   jnp.asarray(L_rot)])))
+    # the host solver on the same stacked list is the ground truth
+    Q_host, use_kron = get_Q(lib, [L_scale, L_rot])
+    assert use_kron
+    r1 = np.sum(np.linalg.norm(Q1, axis=0) > 1e-6)
+    r2 = np.sum(np.linalg.norm(Q2, axis=0) > 1e-6)
+    assert r2 == Q_host.shape[1] < r1  # stacking strictly tightens the space
+
+    # every surviving column of the stacked Q satisfies BOTH constraints
+    M_list = get_M_list(lib, [L_scale, L_rot])
+    for col in Q2.T:
+        if np.linalg.norm(col) < 1e-6:
+            continue
+        Xi = col.reshape(2, 6)
+        for L, M in zip([L_scale, L_rot], M_list):
+            np.testing.assert_allclose(L @ Xi, Xi @ M, atol=2e-3)

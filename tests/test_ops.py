@@ -29,6 +29,25 @@ def test_expm_rotation():
     np.testing.assert_allclose(np.asarray(R), want, atol=1e-6)
 
 
+def test_expm2x2_grad_finite_at_zero_delta():
+    """Gradients must stay finite when the traceless part vanishes (pure
+    scaling / zero generator), the post-thresholding states LaLiGAN reaches.
+    torch.matrix_exp has finite grads there; sqrt(|delta|) must not leak NaN."""
+    from symmetry_ode_discovery_tpu.ops.lie import expm2x2
+
+    def loss(A):
+        return jnp.sum(expm2x2(A) ** 2)
+
+    for A in (jnp.zeros((2, 2)), jnp.diag(jnp.array([0.5, 0.5])),
+              jnp.array([[0.3, -1.0], [1.0, 0.3]])):
+        g = jax.grad(loss)(A)
+        assert np.all(np.isfinite(np.asarray(g))), (A, g)
+    # values still match the generic Pade path near the branch point
+    A = jnp.array([[0.5, 1e-4], [1e-4, 0.5]])
+    np.testing.assert_allclose(np.asarray(expm2x2(A)),
+                               np.asarray(jax.scipy.linalg.expm(A)), atol=1e-6)
+
+
 def test_odeint_dosc_closed_form():
     """Damped oscillator dz = [[-a, -1], [1, -a]] z has closed form
     e^{-a t} R(t) z0."""
