@@ -103,6 +103,115 @@ def _make_param_fns(cfg: SINDyConfig, Q: Optional[jnp.ndarray]):
     return init_params, xi_of
 
 
+def _init_loop_state(params0, opt, mask0, hp: LBFGSHParams):
+    """Initial bookkeeping state of the outer thresholding loop."""
+    return dict(
+        params=params0, opt_state=opt.init(params0), prev=params0,
+        pprev=params0, n_iters=jnp.array(0), mask=mask0,
+        done=jnp.array(False), stop_epoch=jnp.array(hp.num_epochs),
+        last_loss=jnp.array(jnp.inf),
+    )
+
+
+def _param_delta(a, b):
+    return sum(
+        jnp.linalg.norm(pa - pb)
+        for pa, pb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+def _lbfgs_epoch_update(opt, hp: LBFGSHParams, xi_of, loss_fn, state, epoch,
+                        remat: bool = False):
+    """One outer epoch, shared by the fused-scan driver (train_sindy_lbfgs)
+    and the host-stepped driver (make_lbfgs_stepper): inner_iters L-BFGS
+    iterations at fixed mask, then the convergence / thresholding / NaN
+    bookkeeping of reference train.py:692-725.
+
+    loss_fn(params, mask) -> scalar. remat wraps the closure in
+    jax.checkpoint — required when the loss differentiates through
+    autoencoder JVPs and odeint rollouts, else the L-BFGS scan keeps every
+    iteration's activation graph alive and OOMs HBM on vmapped sweeps.
+    """
+    params, opt_state, mask, done = (state["params"], state["opt_state"],
+                                     state["mask"], state["done"])
+
+    fn = lambda p: loss_fn(p, mask)
+    if remat:
+        fn = jax.checkpoint(fn)
+
+    if hp.linesearch:
+        def one_iter(carry, _):
+            params, opt_state = carry
+            value, grad = optax.value_and_grad_from_state(fn)(params, state=opt_state)
+            updates, opt_state = opt.update(
+                grad, opt_state, params, value=value, grad=grad, value_fn=fn
+            )
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), value
+    else:
+        def one_iter(carry, _):
+            params, opt_state = carry
+            value, grad = jax.value_and_grad(fn)(params)
+            updates, opt_state = opt.update(grad, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), value
+
+    (new_params, new_opt_state), values = jax.lax.scan(
+        one_iter, (params, opt_state), None, length=hp.inner_iters
+    )
+    loss = values[-1]
+    # freeze updates once done
+    new_params = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(done, o, n), new_params, params)
+
+    nan = jnp.any(jnp.stack([jnp.any(jnp.isnan(p))
+                             for p in jax.tree_util.tree_leaves(new_params)]))
+    n_iters = state["n_iters"] + 1
+    conv = _param_delta(new_params, state["prev"]) < hp.tol
+    final_conv = jnp.logical_and(conv,
+                                 _param_delta(new_params, state["pprev"]) < hp.tol)
+
+    if hp.st_freq > 0:
+        st_hit = n_iters % hp.st_freq == 0
+    else:
+        st_hit = jnp.array(False)
+    thresh_event = jnp.logical_and(
+        ~done, jnp.logical_and(~final_conv, jnp.logical_or(conv, st_hit)))
+
+    Xi = xi_of(new_params)
+    new_mask = jnp.where(
+        thresh_event,
+        jnp.logical_and(jnp.abs(Xi) > hp.threshold, mask > 0).astype(mask.dtype),
+        mask,
+    )
+    # optimizer reset on thresholding (reference train.py:717,723)
+    fresh_opt = opt.init(new_params)
+    new_opt_state = jax.tree_util.tree_map(
+        lambda f, o: jnp.where(thresh_event, f, o), fresh_opt, new_opt_state)
+    # pprev reset only on the convergence-triggered thresholding (train.py:718)
+    conv_thresh = jnp.logical_and(thresh_event, conv)
+    pprev = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(conv_thresh, n, o), new_params, state["pprev"])
+    n_iters = jnp.where(thresh_event, 0, n_iters)
+
+    newly_done = jnp.logical_and(~done, jnp.logical_or(final_conv, nan))
+    return dict(
+        params=new_params, opt_state=new_opt_state, prev=new_params,
+        pprev=pprev, n_iters=n_iters, mask=new_mask,
+        done=jnp.logical_or(done, newly_done),
+        stop_epoch=jnp.where(newly_done, epoch, state["stop_epoch"]),
+        last_loss=jnp.where(done, state["last_loss"], loss),
+    )
+
+
+def _make_opt(hp: LBFGSHParams):
+    if hp.linesearch:
+        return optax.lbfgs(hp.lr_sindy)
+    # torch-style fixed-step L-BFGS (no line search): fewer sequential ops
+    # per iteration — the fast path for vmapped sweeps.
+    return optax.lbfgs(hp.lr_sindy, linesearch=None)
+
+
 def train_sindy_lbfgs(
     cfg: SINDyConfig,
     Q: Optional[jnp.ndarray],
@@ -149,12 +258,7 @@ def train_sindy_lbfgs(
         q = jnp.sum(dx ** 2)
         n_elems = dx.shape[0] * dx.shape[1]
 
-    if hp.linesearch:
-        opt = optax.lbfgs(hp.lr_sindy)
-    else:
-        # torch-style fixed-step L-BFGS (no line search): fewer sequential ops
-        # per iteration — the fast path for vmapped sweeps.
-        opt = optax.lbfgs(hp.lr_sindy, linesearch=None)
+    opt = _make_opt(hp)
 
     def loss_fn(params, mask):
         Xi = xi_of(params)
@@ -188,101 +292,20 @@ def train_sindy_lbfgs(
             raise ValueError(f"Unknown regularization type: {hp.sindy_reg_type}")
         return loss
 
-    def lbfgs_epoch(params, opt_state, mask):
-        """20 L-BFGS iterations at fixed mask (one reference optimizer.step)."""
+    remat = sym_reg_fn is not None and hp.w_sym_reg > 0.0
 
-        def fn(p):
-            return loss_fn(p, mask)
+    def outer_step(state, epoch):
+        return _lbfgs_epoch_update(opt, hp, xi_of, loss_fn, state, epoch,
+                                   remat=remat), None
 
-        if sym_reg_fn is not None and hp.w_sym_reg > 0.0:
-            # The symmetry penalty differentiates through autoencoder JVPs and
-            # odeint rollouts; without rematerialization the L-BFGS scan keeps
-            # every iteration's multi-GB activation graph alive and OOMs HBM
-            # on vmapped sweeps.
-            fn = jax.checkpoint(fn)
-
-        if hp.linesearch:
-            def one_iter(carry, _):
-                params, opt_state = carry
-                value, grad = optax.value_and_grad_from_state(fn)(params, state=opt_state)
-                updates, opt_state = opt.update(
-                    grad, opt_state, params, value=value, grad=grad, value_fn=fn
-                )
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), value
-        else:
-            def one_iter(carry, _):
-                params, opt_state = carry
-                value, grad = jax.value_and_grad(fn)(params)
-                updates, opt_state = opt.update(grad, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), value
-
-        (params, opt_state), values = jax.lax.scan(
-            one_iter, (params, opt_state), None, length=hp.inner_iters
-        )
-        return params, opt_state, values[-1]
-
-    def param_delta(a, b):
-        return sum(
-            jnp.linalg.norm(pa - pb)
-            for pa, pb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
-        )
-
-    def outer_step(carry, epoch):
-        params, opt_state, prev, pprev, n_iters, mask, done, stop_epoch, last_loss = carry
-
-        new_params, new_opt_state, loss = lbfgs_epoch(params, opt_state, mask)
-        # freeze updates once done
-        new_params = jax.tree_util.tree_map(lambda n, o: jnp.where(done, o, n), new_params, params)
-
-        nan = jnp.any(jnp.stack([jnp.any(jnp.isnan(p)) for p in jax.tree_util.tree_leaves(new_params)]))
-        n_iters = n_iters + 1
-        delta = param_delta(new_params, prev)
-        conv = delta < hp.tol
-        delta2 = param_delta(new_params, pprev)
-        final_conv = jnp.logical_and(conv, delta2 < hp.tol)
-
-        if hp.st_freq > 0:
-            st_hit = n_iters % hp.st_freq == 0
-        else:
-            st_hit = jnp.array(False)
-        thresh_event = jnp.logical_and(~done, jnp.logical_and(~final_conv, jnp.logical_or(conv, st_hit)))
-
-        Xi = xi_of(new_params)
-        new_mask = jnp.where(
-            thresh_event,
-            jnp.logical_and(jnp.abs(Xi) > hp.threshold, mask > 0).astype(mask.dtype),
-            mask,
-        )
-        # optimizer reset on thresholding (reference train.py:717,723)
-        fresh_opt = opt.init(new_params)
-        new_opt_state = jax.tree_util.tree_map(
-            lambda f, o: jnp.where(thresh_event, f, o), fresh_opt, new_opt_state
-        )
-        # pprev reset only on the convergence-triggered thresholding (train.py:718)
-        conv_thresh = jnp.logical_and(thresh_event, conv)
-        pprev = jax.tree_util.tree_map(lambda n, o: jnp.where(conv_thresh, n, o), new_params, pprev)
-        n_iters = jnp.where(thresh_event, 0, n_iters)
-
-        newly_done = jnp.logical_and(~done, jnp.logical_or(final_conv, nan))
-        stop_epoch = jnp.where(newly_done, epoch, stop_epoch)
-        done = jnp.logical_or(done, newly_done)
-        last_loss = jnp.where(done, last_loss, loss)
-
-        return (new_params, new_opt_state, new_params, pprev, n_iters, new_mask, done, stop_epoch, last_loss), None
-
-    carry0 = (
-        params0, opt.init(params0), params0, params0,
-        jnp.array(0), mask0, jnp.array(False), jnp.array(hp.num_epochs), jnp.array(jnp.inf),
-    )
+    state0 = _init_loop_state(params0, opt, mask0, hp)
     # scan (not while_loop): measured faster on TPU for the vmapped sweep —
     # XLA pipelines the fixed-trip loop, while a batched while_loop runs to
     # the slowest lane anyway and defeats those optimizations. Per-seed "early
     # stop" is realized by the done-mask freezing updates.
-    carry, _ = jax.lax.scan(outer_step, carry0, jnp.arange(hp.num_epochs))
-    params, _, _, _, _, mask, done, stop_epoch, last_loss = carry
-    return LBFGSResult(Xi=xi_of(params), mask=mask, stop_epoch=stop_epoch, final_loss=last_loss)
+    state, _ = jax.lax.scan(outer_step, state0, jnp.arange(hp.num_epochs))
+    return LBFGSResult(Xi=xi_of(state["params"]), mask=state["mask"],
+                       stop_epoch=state["stop_epoch"], final_loss=state["last_loss"])
 
 
 def make_sym_reg_fn(ae_def, ae_params, batch_stats, spec, g_state,
@@ -349,10 +372,8 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
     rides in the carry so the whole thing vmaps over seeds.
     """
     init_params, xi_of = _make_param_fns(cfg, Q)
-    if hp.linesearch:
-        opt = optax.lbfgs(hp.lr_sindy)
-    else:
-        opt = optax.lbfgs(hp.lr_sindy, linesearch=None)
+    opt = _make_opt(hp)
+    remat = sym_reg_fn is not None and hp.w_sym_reg > 0.0
 
     def make_loss(x, dx):
         theta = cfg.library(x)
@@ -361,7 +382,7 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
             Xi = xi_of(params)
             pred = theta @ (Xi * mask).T
             loss = hp.w_sindy_x * jnp.mean((pred - dx) ** 2)
-            if sym_reg_fn is not None and hp.w_sym_reg > 0.0:
+            if remat:
                 def forward_fn(xq):
                     return cfg.library(xq) @ (Xi * mask).T
                 loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x)
@@ -375,79 +396,13 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
     def init(x, dx, key):
         params0 = init_params(key)
         mask0 = jnp.ones((cfg.latent_dim, cfg.n_terms))
-        return dict(
-            x=x, dx=dx, params=params0, opt_state=opt.init(params0),
-            prev=params0, pprev=params0, n_iters=jnp.array(0), mask=mask0,
-            done=jnp.array(False), stop_epoch=jnp.array(hp.num_epochs),
-            last_loss=jnp.array(jnp.inf),
-        )
+        return dict(x=x, dx=dx, **_init_loop_state(params0, opt, mask0, hp))
 
     def step(carry, epoch):
         loss_fn = make_loss(carry["x"], carry["dx"])
-
-        def fn_of(mask):
-            f = lambda p: loss_fn(p, mask)
-            if sym_reg_fn is not None and hp.w_sym_reg > 0.0:
-                f = jax.checkpoint(f)
-            return f
-
-        params, opt_state, mask = carry["params"], carry["opt_state"], carry["mask"]
-        fn = fn_of(mask)
-
-        def one_iter(_, c):
-            params, opt_state = c
-            if hp.linesearch:
-                value, grad = optax.value_and_grad_from_state(fn)(params, state=opt_state)
-                updates, opt_state = opt.update(grad, opt_state, params,
-                                                value=value, grad=grad, value_fn=fn)
-            else:
-                value, grad = jax.value_and_grad(fn)(params)
-                updates, opt_state = opt.update(grad, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state)
-
-        new_params, new_opt_state = jax.lax.fori_loop(
-            0, hp.inner_iters, one_iter, (params, opt_state))
-        done = carry["done"]
-        new_params = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(done, o, n), new_params, params)
-
-        def pdelta(a, b):
-            return sum(jnp.linalg.norm(pa - pb) for pa, pb in zip(
-                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
-
-        nan = jnp.any(jnp.stack([jnp.any(jnp.isnan(p))
-                                 for p in jax.tree_util.tree_leaves(new_params)]))
-        n_iters = carry["n_iters"] + 1
-        conv = pdelta(new_params, carry["prev"]) < hp.tol
-        final_conv = jnp.logical_and(conv, pdelta(new_params, carry["pprev"]) < hp.tol)
-        if hp.st_freq > 0:
-            st_hit = n_iters % hp.st_freq == 0
-        else:
-            st_hit = jnp.array(False)
-        thresh = jnp.logical_and(~done, jnp.logical_and(
-            ~final_conv, jnp.logical_or(conv, st_hit)))
-        Xi = xi_of(new_params)
-        new_mask = jnp.where(thresh,
-                             jnp.logical_and(jnp.abs(Xi) > hp.threshold,
-                                             mask > 0).astype(mask.dtype),
-                             mask)
-        fresh = opt.init(new_params)
-        new_opt_state = jax.tree_util.tree_map(
-            lambda f_, o: jnp.where(thresh, f_, o), fresh, new_opt_state)
-        conv_thresh = jnp.logical_and(thresh, conv)
-        pprev = jax.tree_util.tree_map(
-            lambda nw, o: jnp.where(conv_thresh, nw, o), new_params, carry["pprev"])
-        n_iters = jnp.where(thresh, 0, n_iters)
-        newly_done = jnp.logical_and(~done, jnp.logical_or(final_conv, nan))
-        return dict(
-            x=carry["x"], dx=carry["dx"], params=new_params,
-            opt_state=new_opt_state, prev=new_params, pprev=pprev,
-            n_iters=n_iters, mask=new_mask,
-            done=jnp.logical_or(done, newly_done),
-            stop_epoch=jnp.where(newly_done, epoch, carry["stop_epoch"]),
-            last_loss=carry["last_loss"],
-        )
+        new = _lbfgs_epoch_update(opt, hp, xi_of, loss_fn, carry, epoch,
+                                  remat=remat)
+        return dict(x=carry["x"], dx=carry["dx"], **new)
 
     def extract(carry):
         return xi_of(carry["params"]), carry["mask"]
