@@ -1,15 +1,20 @@
-"""Headline benchmark: Lotka-Volterra 50-seed equation-discovery sweep.
+"""Headline benchmark: two 50-seed equation-discovery sweeps, one TPU program each.
 
-The reference runs this as a sequential bash loop — 50 process relaunches,
-each doing a full L-BFGS SINDy fit (reference run_scripts/lv_noise99_eq_sindy.sh
-+ run_configs/lv/noise99_eq_sindy_2.cfg). Here it is ONE batched TPU program:
-vmap over the seed axis (per-seed data subsample + init + 100-epoch L-BFGS
-with convergence-triggered thresholding + on-device evaluation).
+The reference runs every sweep as a sequential bash loop — 50 process
+relaunches, each a full L-BFGS SINDy fit (reference run_scripts/*.sh). Here a
+sweep is ONE batched TPU program: vmap over the seed axis (per-seed data
+subsample + init + 100-epoch L-BFGS with convergence-triggered thresholding +
+on-device evaluation), lowered to the fused Pallas kernel.
 
-North-star target (BASELINE.md): < 60 s wall clock on TPU.
-vs_baseline = 60 / wall_clock (>1 means beating the target).
+Two sweeps, proving speed AND the paper's core claim:
+  1. LV noise-0.99 plain SINDy (run_configs/lv/noise99_eq_sindy_2.cfg) — the
+     speed headline. North star (BASELINE.md): < 60 s wall clock on TPU;
+     vs_baseline = 60 / wall_clock (>1 means beating the target).
+  2. Growth noise-0.05 EquivSINDy-c (run_configs/growth/noise05_esindy.cfg) —
+     the symmetry-informed flagship. Reference notebook numbers
+     (BASELINE.md): joint success 50/50, coefficient RMSE 0.0143 +- 0.0066.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -21,7 +26,6 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from symmetry_ode_discovery_tpu.data.datasets import ODEDataset
     from symmetry_ode_discovery_tpu.models.sindy import make_config
@@ -29,38 +33,73 @@ def main():
     from symmetry_ode_discovery_tpu.training.sweep import sweep_sindy_lbfgs
     from symmetry_ode_discovery_tpu.evaluation import sindy_truth
 
-    # Data: lv noise 0.99, GP-smoothed (cached after first generation).
-    ds = ODEDataset.make("lv", "train", noise=0.99, smoothing="gp")
-    x, dx = ds.x, ds.dx
-
-    # Protocol of run_configs/lv/noise99_eq_sindy_2.cfg: poly2 + exp library,
-    # lbfgs_subsample 0.01, lr 0.1, st_freq 20, threshold 0.15, 100 epochs.
-    cfg, _ = make_config(2, poly_order=2, include_exp=True, threshold=0.15)
-    hp = LBFGSHParams(num_epochs=100, lr_sindy=0.1, w_sindy_x=1.0,
-                      w_sindy_reg=0.0, sindy_reg_type="l1",
-                      st_freq=20, threshold=0.15)
     seeds = np.arange(50)
 
-    def run():
-        return sweep_sindy_lbfgs(cfg, None, x, dx, sindy_truth["lv"], hp,
-                                 seeds, lbfgs_subsample=0.01, backend="pallas")
+    # ---- 1. LV noise99 plain SINDy (speed headline) ----
+    # Protocol of run_configs/lv/noise99_eq_sindy_2.cfg: poly2 + exp library,
+    # lbfgs_subsample 0.01, lr 0.1, st_freq 20, threshold 0.15, 100 epochs.
+    ds = ODEDataset.make("lv", "train", noise=0.99, smoothing="gp")
+    cfg_lv, _ = make_config(2, poly_order=2, include_exp=True, threshold=0.15)
+    hp_lv = LBFGSHParams(num_epochs=100, lr_sindy=0.1, w_sindy_x=1.0,
+                         w_sindy_reg=0.0, sindy_reg_type="l1",
+                         st_freq=20, threshold=0.15)
+
+    def run_lv():
+        return sweep_sindy_lbfgs(cfg_lv, None, ds.x, ds.dx, sindy_truth["lv"],
+                                 hp_lv, seeds, lbfgs_subsample=0.01,
+                                 backend="pallas")
+
+    # ---- 2. Growth noise05 EquivSINDy-c (symmetry-informed flagship) ----
+    # Protocol of run_configs/growth/noise05_esindy.cfg: scaling2 hard
+    # constraint, constrained constant, subsample 0.5, lr 1.0, threshold 5e-2.
+    ds_g = ODEDataset.make("growth", "train", noise=0.05, smoothing="gp")
+    L_scaling2 = np.array([[2.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+    cfg_g, Q_g = make_config(2, poly_order=2, L_list=[L_scaling2],
+                             constrain_constant=True, threshold=5e-2)
+    hp_g = LBFGSHParams(num_epochs=100, lr_sindy=1.0, w_sindy_x=1.0,
+                        w_sindy_reg=0.0, sindy_reg_type="l1",
+                        st_freq=100, threshold=5e-2)
+
+    def run_growth():
+        return sweep_sindy_lbfgs(cfg_g, Q_g, ds_g.x, ds_g.dx,
+                                 sindy_truth["growth"], hp_g, seeds,
+                                 lbfgs_subsample=0.5, backend="pallas")
 
     # Warmup: compile (first compile through the TPU tunnel is slow and not
     # representative of sweep throughput).
-    run()
-    t0 = time.time()
-    res = run()
-    wall = time.time() - t0
+    run_lv()
+    run_growth()
 
-    joint = float(np.mean(np.all(res.correct_form > 0, axis=1)))
-    rmse = float(np.mean(np.sqrt(res.mse)))
+    t0 = time.time()
+    res_lv = run_lv()
+    wall_lv = time.time() - t0
+
+    t0 = time.time()
+    res_g = run_growth()
+    wall_g = time.time() - t0
+
+    def stats(res):
+        joint = float(np.mean(np.all(res.correct_form > 0, axis=1)))
+        ok = np.all(res.correct_form > 0, axis=1)
+        # RMSE over successful seeds, the notebook's valid-only aggregation
+        rmse = float(np.mean(np.sqrt(res.mse[ok]))) if ok.any() else float("nan")
+        return joint, rmse
+
+    joint_lv, rmse_lv = stats(res_lv)
+    joint_g, rmse_g = stats(res_g)
+
+    wall = wall_lv + wall_g
     print(json.dumps({
-        "metric": "lv_noise99_50seed_sweep_wallclock",
+        "metric": "lv_sindy_plus_growth_esindy_50seed_sweeps_wallclock",
         "value": round(wall, 3),
         "unit": "s",
-        "vs_baseline": round(60.0 / wall, 2),
-        "joint_success_rate": joint,
-        "mean_rmse": round(rmse, 4),
+        "vs_baseline": round(60.0 / wall_lv, 2),
+        "lv_sindy_wall_s": round(wall_lv, 3),
+        "lv_sindy_joint_success": joint_lv,
+        "growth_esindy_wall_s": round(wall_g, 3),
+        "growth_esindy_joint_success": joint_g,
+        "growth_esindy_rmse": round(rmse_g, 4),
+        "growth_esindy_ref": {"joint_success": 1.0, "rmse": 0.0143},
         "device": str(jax.devices()[0]),
     }))
 
