@@ -154,9 +154,20 @@ def run(args: dict) -> dict:
         linesearch=not (args["w_sym_reg"] > 0.0),
     )
     sym_reg_fn = None
+    sym_reg_prep = None
     if args["w_sym_reg"] > 0.0 and not args["use_latent"]:
-        sym_reg_fn = make_sym_reg_fn(ae_def, ae_params, ae_bstats, spec, g_state,
-                                     args["sym_reg_type"], args["int_t"], args["int_dt"])
+        if args["sym_reg_type"] == "i" and not args.get("symreg_slow"):
+            # fast path: per-seed precomputation of the frozen-AE constants
+            # (training/symmreg.py::make_symmreg_i_fast) — exact same loss
+            from ..training.symmreg import make_symmreg_i_fast
+
+            ae_dtype = {"bf16": jnp.bfloat16, "f32": None}[args.get("ae_dtype", "f32")]
+            sym_reg_prep, sym_reg_fn = make_symmreg_i_fast(
+                ae_def, ae_params, ae_bstats, spec, g_state,
+                args["int_t"], args["int_dt"], ae_dtype=ae_dtype)
+        else:
+            sym_reg_fn = make_sym_reg_fn(ae_def, ae_params, ae_bstats, spec, g_state,
+                                         args["sym_reg_type"], args["int_t"], args["int_dt"])
 
     latent = None
     if args["use_latent"]:
@@ -253,7 +264,10 @@ def run(args: dict) -> dict:
             from ..training.siged import make_lbfgs_stepper
 
             Qj = jnp.asarray(Q) if Q is not None else None
-            init_f, step_f, extract_f = make_lbfgs_stepper(cfg, Qj, hp, sym_reg_fn)
+            epc = max(1, min(args.get("epochs_per_call", 10), hp.num_epochs))
+            init_f, step_f, extract_f = make_lbfgs_stepper(
+                cfg, Qj, hp, sym_reg_fn, sym_reg_prep=sym_reg_prep,
+                epochs_per_call=epc)
 
             def prep_seed(s):
                 kk = jax.random.fold_in(jax.random.PRNGKey(0), s)
@@ -276,7 +290,7 @@ def run(args: dict) -> dict:
                     keep = chunk
                 xs, dxs, keys = prep_j(sub)
                 carry = init_j(xs, dxs, keys)
-                for e in range(hp.num_epochs):
+                for e in range(0, hp.num_epochs, epc):
                     carry = step_j(carry, e)
                 Xi_c, m_c = ext_j(carry)
                 parts.append((Xi_c[:keep], m_c[:keep]))
@@ -308,13 +322,16 @@ def run(args: dict) -> dict:
         from ..training.siged import make_lbfgs_stepper
 
         Qj = jnp.asarray(Q) if Q is not None else None
-        init_f, step_f, extract_f = make_lbfgs_stepper(cfg, Qj, hp, sym_reg_fn)
+        epc = max(1, min(args.get("epochs_per_call", 10), hp.num_epochs))
+        init_f, step_f, extract_f = make_lbfgs_stepper(
+            cfg, Qj, hp, sym_reg_fn, sym_reg_prep=sym_reg_prep,
+            epochs_per_call=epc)
         kk = jax.random.fold_in(jax.random.PRNGKey(0), seed)
         kperm, kfit, _ = jax.random.split(kk, 3)
         idx = jax.random.permutation(kperm, n)[:k_batch]
         carry = jax.jit(init_f)(x_all[idx], dx_all[idx], kfit)
         step_j = jax.jit(step_f)
-        for e in range(hp.num_epochs):
+        for e in range(0, hp.num_epochs, epc):
             carry = step_j(carry, e)
         Xi, mask = jax.jit(extract_f)(carry)
     else:

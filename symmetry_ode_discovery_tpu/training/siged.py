@@ -353,29 +353,40 @@ def distill_to_data_space(
 
 
 def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
-                       sym_reg_fn: Optional[Callable] = None):
+                       sym_reg_fn: Optional[Callable] = None,
+                       sym_reg_prep: Optional[Callable] = None,
+                       epochs_per_call: int = 1):
     """Host-steppable variant of train_sindy_lbfgs for heavy (symreg) losses.
 
     A single fused 100-epoch device program can exceed the TPU runtime's
     execution watchdog when every L-BFGS iteration differentiates through
     autoencoder JVPs and odeint rollouts; this splits the SAME protocol into
-    per-epoch device calls driven from the host:
+    bounded device calls driven from the host:
 
         init, step, extract = make_lbfgs_stepper(cfg, Q, hp, sym_reg_fn)
         carry = jax.jit(jax.vmap(init))(xs, dxs, keys)
         step_j = jax.jit(jax.vmap(step, in_axes=(0, None)))
-        for e in range(hp.num_epochs):
+        for e in range(0, hp.num_epochs, epochs_per_call):
             carry = step_j(carry, e)
         Xi, mask = extract(carry)
 
     Semantics identical to train_sindy_lbfgs (same epoch body); per-seed data
     rides in the carry so the whole thing vmaps over seeds.
+
+    sym_reg_prep: optional per-seed precomputation hook (the
+    make_symmreg_i_fast fast path) — `prep(x) -> ctx` runs once in `init`,
+    the ctx pytree rides in the carry, and sym_reg_fn is then called as
+    `sym_reg_fn(forward_fn, x, ctx)`.
+
+    epochs_per_call: epochs fused into one device program per host step
+    (a lax.scan); raise it as far as the watchdog budget allows to amortize
+    dispatch latency.
     """
     init_params, xi_of = _make_param_fns(cfg, Q)
     opt = _make_opt(hp)
     remat = sym_reg_fn is not None and hp.w_sym_reg > 0.0
 
-    def make_loss(x, dx):
+    def make_loss(x, dx, srctx):
         theta = cfg.library(x)
 
         def loss_fn(params, mask):
@@ -385,7 +396,10 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
             if remat:
                 def forward_fn(xq):
                     return cfg.library(xq) @ (Xi * mask).T
-                loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x)
+                if sym_reg_prep is not None:
+                    loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x, srctx)
+                else:
+                    loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x)
             if hp.sindy_reg_type == "l1":
                 l1 = sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(params))
                 loss = loss + hp.w_sindy_reg * l1
@@ -396,13 +410,23 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
     def init(x, dx, key):
         params0 = init_params(key)
         mask0 = jnp.ones((cfg.latent_dim, cfg.n_terms))
-        return dict(x=x, dx=dx, **_init_loop_state(params0, opt, mask0, hp))
+        carry = dict(x=x, dx=dx, **_init_loop_state(params0, opt, mask0, hp))
+        if sym_reg_prep is not None:
+            carry["srctx"] = sym_reg_prep(x)
+        return carry
 
-    def step(carry, epoch):
-        loss_fn = make_loss(carry["x"], carry["dx"])
-        new = _lbfgs_epoch_update(opt, hp, xi_of, loss_fn, carry, epoch,
-                                  remat=remat)
-        return dict(x=carry["x"], dx=carry["dx"], **new)
+    def step(carry, epoch0):
+        aux = {k: carry[k] for k in ("x", "dx", "srctx") if k in carry}
+        loss_fn = make_loss(carry["x"], carry["dx"], carry.get("srctx"))
+        state = {k: v for k, v in carry.items() if k not in aux}
+
+        def body(st, e):
+            return _lbfgs_epoch_update(opt, hp, xi_of, loss_fn, st, e,
+                                       remat=remat), None
+
+        state, _ = jax.lax.scan(body, state,
+                                epoch0 + jnp.arange(epochs_per_call))
+        return dict(**aux, **state)
 
     def extract(carry):
         return xi_of(carry["params"]), carry["mask"]

@@ -158,6 +158,102 @@ def symmreg_r(
     return loss
 
 
+def make_symmreg_i_fast(
+    ae_def: AutoEncoderDef, ae_params, batch_stats,
+    spec: GeneratorSpec, g_state: GeneratorState,
+    int_t: float, int_dt: float,
+    z_mean: Optional[jnp.ndarray] = None,
+    relative: bool = True,
+    ae_dtype=None,
+):
+    """Fast-path builder for the infinitesimal symmetry loss inside L-BFGS
+    equation discovery (the EquivSINDy-r hot loop).
+
+    Mathematically identical to `make_sym_reg_fn(..., 'i')` +
+    `symmreg_i(..., f=forward_step)` but restructured around what is actually
+    iteration-dependent. With the autoencoder and generator FROZEN (the
+    --fix_laligan protocol, reference main.py:47-63) and the fit batch x fixed
+    per seed, the candidate equation Xi only enters through the rollout
+    endpoint fx = odeint(f, x, int_t, int_dt). Everything evaluated at x is
+    constant across all L-BFGS iterations:
+
+      - z_x = normalize(encode(x))           (one encoder pass per seed)
+      - J_dec(z_x)                           (decoder Jacobian at z_x; the
+                                              'x' half of the reference's
+                                              per-closure decoder jvp,
+                                              model_utils.py:53-56)
+
+    `prep(x)` computes these once; `penalty(forward_fn, x, ctx)` then costs
+    ONE encoder forward (at fx) + ONE decoder jvp (at z_fx) per evaluation —
+    half the reference's per-closure autoencoder work, which re-encodes the
+    (x, fx) pair and pushes both halves through the decoder jvp every closure
+    call (reference model_utils.py:8-67, train.py:667-673).
+
+    The per-component split is exact because encoder/decoder apply the same
+    weights to each component of the (batch, 2, dim) stack (models/mlp.py
+    Dense broadcasts over the component axis; BatchNorm runs in eval mode).
+
+    ae_dtype: optional compute dtype (e.g. jnp.bfloat16) for the frozen
+    autoencoder matmuls in this penalty — the MXU fast path. The reduction
+    and the rest of the loss stay float32.
+    """
+    from ..ops.integrators import odeint
+
+    zm = _resolve_z_mean(ae_def, ae_params, "global", z_mean)
+    basis = lg.get_full_basis_list(spec, g_state)
+    latent = ae_def.latent_dim
+
+    if ae_dtype is not None:
+        # cast the big Dense weights; keep the OrthoDense 'V' factor f32 (QR
+        # has no low-precision kernel, and it's the tiny final layer anyway)
+        def cast(t):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, a: a if any(getattr(k, "key", None) == "V" for k in path)
+                or not jnp.issubdtype(a.dtype, jnp.floating)
+                else a.astype(ae_dtype), t)
+        ae_params = cast(ae_params)
+        batch_stats = cast(batch_stats)
+
+    def enc1(x):
+        """Encode a single component batch (b, input_dim) -> normalized z."""
+        xin = x.astype(ae_dtype) if ae_dtype is not None else x
+        z, _ = ae_def.encode(ae_params, batch_stats, xin, train=False)
+        return z.astype(jnp.float32) - zm.astype(jnp.float32)
+
+    def dec1(z):
+        zin = z.astype(ae_dtype) if ae_dtype is not None else z
+        return ae_def.decode(ae_params, zin).astype(jnp.float32)
+
+    def prep(x):
+        z_x = enc1(x)
+        Jd_x = jax.vmap(jax.jacfwd(lambda zz: dec1(zz[None, :])[0]))(z_x)
+        return {"z_x": z_x, "Jd_x": Jd_x}
+
+    def penalty(forward_fn, x, ctx):
+        def forward_step(q):
+            return odeint(forward_fn, q, int_t, int_dt)
+
+        fx = forward_step(x)
+        z_fx = enc1(fx)
+        z_x, Jd_x = ctx["z_x"], ctx["Jd_x"]
+        z_flat = jnp.concatenate([z_x, z_fx], axis=-1)  # (b, 2*latent)
+
+        loss = 0.0
+        for v in basis:
+            v_z = jnp.einsum("jk,bk->bj", v, z_flat)
+            v_z_x, v_z_fx = v_z[:, :latent], v_z[:, latent:]
+            v_x = jnp.einsum("bij,bj->bi", Jd_x, v_z_x)
+            v_fx = jax.jvp(dec1, (z_fx,), (v_z_fx,))[1]
+            input_variation = jax.jvp(forward_step, (x,), (v_x,))[1]
+            sq = jnp.mean((input_variation - v_fx) ** 2)
+            if relative:
+                sq = sq / jnp.mean(input_variation ** 2)
+            loss = loss + sq
+        return loss
+
+    return prep, penalty
+
+
 def precompute_symmreg_r(
     ae_def: AutoEncoderDef, ae_params, batch_stats,
     spec: GeneratorSpec, g_state: GeneratorState,

@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="max seeds vmapped at once for memory-heavy (symreg/latent) sweeps")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="shard the seed sweep over this many devices (0 = all)")
+    parser.add_argument("--symreg_slow", action="store_true",
+                        help="disable the precomputed fast path for sym_reg_type=i")
+    parser.add_argument("--ae_dtype", type=str, default="f32", choices=["f32", "bf16"],
+                        help="compute dtype of the frozen autoencoder inside the "
+                             "symreg penalty (bf16 = MXU fast path)")
+    parser.add_argument("--epochs_per_call", type=int, default=10,
+                        help="epochs fused per device call in host-stepped sweeps")
     return parser
 
 
