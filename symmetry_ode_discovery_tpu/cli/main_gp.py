@@ -69,6 +69,9 @@ def run(args: dict) -> dict:
 
     n_seeds = args.get("n_seeds", 1)
     seed0 = args["seed"]
+    if n_seeds > 1:
+        return _run_sweep_mode(args, x_all, dx_all, subsample_size, spec,
+                               gx_fn, save_dir, seed0, n_seeds)
     results = []
     for seed in range(seed0, seed0 + n_seeds):
         rng = np.random.default_rng(seed)
@@ -98,6 +101,68 @@ def run(args: dict) -> dict:
         for i, e in enumerate(eqs):
             print(f"  dx{i} = {e}")
         results.append(eqs)
+    return {"equations": results}
+
+
+def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
+                    save_dir, seed0, n_seeds):
+    """Multi-seed sweep: seeds as a device batch axis (symgp/sweep.py),
+    evaluated with the standard SINDy tooling via the sympy form projector
+    (symgp/eval_gp.py). Writes eval_results/{save_dir}/seed{N}.npz like every
+    other entry point, so cli.aggregate works unchanged."""
+    import numpy as np
+
+    from ..evaluation.eval_eq import save_eval_results
+    from ..symgp.evolve import GPConfig
+    from ..symgp.eval_gp import eval_gp_equations
+    from ..symgp.sweep import gp_sweep_plain, gp_sweep_system
+    from ..symgp.tape import tape_to_string
+
+    seeds = list(range(seed0, seed0 + n_seeds))
+    chunk = max(1, args.get("seed_chunk", 10))
+    task = args["task"]
+    results = []
+
+    for lo in range(0, n_seeds, chunk):
+        sub_seeds = seeds[lo:lo + chunk]
+        xs, dxs, gxs, Jgs = [], [], [], []
+        for seed in sub_seeds:
+            rng = np.random.default_rng(seed)
+            idx = rng.choice(len(x_all), subsample_size, replace=False)
+            xs.append(x_all[idx])
+            dxs.append(dx_all[idx])
+            if args["pysr_symmreg"]:
+                gx_list, Jgx_list = gx_fn(x_all[idx])
+                gxs.append(np.stack([np.asarray(g) for g in gx_list]))
+                Jgs.append(np.stack([np.asarray(J) for J in Jgx_list]))
+        X = np.stack(xs)
+        dX = np.stack(dxs)
+        cfg = GPConfig(pop_size=args.get("pysr_bs", 1000), n_generations=40,
+                       seed=seed0)
+        if args["pysr_symmreg"]:
+            per_seed, _ = gp_sweep_system(
+                X, dX, spec, cfg, sub_seeds,
+                gx_all=np.stack(gxs), Jgx_all=np.stack(Jgs),
+                w_sym_reg=args["w_sym_reg"], verbose=args.get("print_eq", False))
+            eq_file = "equation_seed{}.txt"
+        else:
+            per_seed, _ = gp_sweep_plain(X, dX, spec, cfg, sub_seeds,
+                                         verbose=args.get("print_eq", False))
+            eq_file = "equations_seed{}.txt"
+
+        for seed, best in zip(sub_seeds, per_seed):
+            eqs = [tape_to_string(*b) for b in best]
+            with open(f"{save_dir}/{eq_file.format(seed)}", "w") as f:
+                f.write("\n".join(eqs))
+            # strictly-below-threshold terms are dropped; keep the cut under
+            # the smallest true coefficient (0.1 in dosc/growth)
+            res = eval_gp_equations(eqs, task,
+                                    threshold=min(args["threshold"], 0.05))
+            save_eval_results(res, args["save_dir"], seed)
+            results.append(eqs)
+            print(f"seed {seed}: correct_form={res['correct_form']}  "
+                  + "  ".join(f"dx{i}={e}" for i, e in enumerate(eqs)))
+    print(f"Swept {n_seeds} GP seeds -> eval_results/{args['save_dir']}")
     return {"equations": results}
 
 
