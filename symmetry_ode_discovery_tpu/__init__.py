@@ -37,3 +37,15 @@ if _os.environ.get("SODT_MATMUL_PRECISION", "float32") != "default":
         "jax_default_matmul_precision",
         _os.environ.get("SODT_MATMUL_PRECISION", "float32"),
     )
+
+# Persistent compilation cache: the axon TPU tunnel compiles remotely at
+# 20-60 s per program shape; caching compiled executables on disk removes
+# that cost from every rerun (sweeps re-invoke identical shapes constantly).
+# Disable with SODT_COMPILATION_CACHE=0.
+if _os.environ.get("SODT_COMPILATION_CACHE", "1") != "0":
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ.get("SODT_COMPILATION_CACHE_DIR",
+                                       _os.path.expanduser("~/.cache/sodt_jax")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
