@@ -78,18 +78,29 @@ def _plain_unit_loss(spec: TapeSpec):
 
 
 def make_sweep_gen_step(unit_loss, steps: int, lr: float, topk: int,
-                        group: int = 1):
+                        group: int = 1, n_data: int = 0):
     """Fused per-generation device program, vmapped over units.
 
     unit_loss(ops, args, consts, *data) -> (P,) group losses.
     Returns gen(ops (U,G*P,L), args, consts, *data_batched) ->
     (consts (U,G*P,L), fitness (U,P)).
+
+    `data_batched` carries TWO copies of the per-unit data tuple (n_data
+    arrays each): the full batch, used for population fitness and the
+    accept/reject comparison, and a row-subsampled copy used only inside the
+    Adam constant-optimization gradient. Differentiating the tape evaluator
+    retains a (tape_len, topk, stack_depth, N) mask buffer per unit, which at
+    N=2500 / topk=256 over 20 vmapped units exceeds v5e HBM (measured 19.2G);
+    gradients on ~512 rows keep the tuned constants statistically identical
+    (full-batch fitness still gates acceptance) at ~1/5 the memory and FLOPs.
     """
     import optax
 
     opt = optax.adam(lr)
 
-    def unit_gen(ops, args, consts, *data):
+    def unit_gen(ops, args, consts, *all_data):
+        data = all_data[:n_data] if n_data else all_data
+        data_small = all_data[n_data:] if n_data else all_data
         fit0 = unit_loss(ops, args, consts, *data)  # (P,)
         if steps <= 0 or topk <= 0:
             return consts, fit0
@@ -103,7 +114,7 @@ def make_sweep_gen_step(unit_loss, steps: int, lr: float, topk: int,
         def step(carry, _):
             c, s = carry
             g = jax.grad(lambda cc: jnp.sum(unit_loss(sub_ops, sub_args, cc,
-                                                      *data)))(c)
+                                                      *data_small)))(c)
             g = jnp.where(jnp.isfinite(g), g, 0.0)
             upd, s = opt.update(g, s, c)
             return (optax.apply_updates(c, upd), s), None
@@ -130,18 +141,24 @@ class SweepResult:
 
 def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
                rngs, group: int, topk: int, verbose: bool = False,
-               gen_cb=None):
+               gen_cb=None, data_small=None):
     """Shared evolution driver over a batch of units.
 
     populations: (ops (U,G*P,L), args, consts) numpy arrays.
     data_arrays: tuple of (U, ...) jnp arrays passed to unit_loss.
+    data_small: optional row-subsampled copy of data_arrays for the
+        constant-optimization gradient (see make_sweep_gen_step).
     rngs: per-unit np.random.Generator list (breeding).
     """
     ops, args, consts = populations
     U = ops.shape[0]
     P = ops.shape[1] // group
+    if data_small is None:
+        data_small = data_arrays
     gen_step = make_sweep_gen_step(unit_loss, cfg.const_opt_steps,
-                                   cfg.const_opt_lr, topk, group)
+                                   cfg.const_opt_lr, topk, group,
+                                   n_data=len(data_arrays))
+    data_arrays = tuple(data_arrays) + tuple(data_small)
     best = [None] * U
     best_fit = np.full(U, np.inf)
     history = np.zeros((U, cfg.n_generations), np.float32)
@@ -192,6 +209,7 @@ def gp_sweep_plain(
     seeds,
     topk: Optional[int] = None,
     verbose: bool = False,
+    const_subsample: int = 512,
 ):
     """Per-dimension independent GP for S seeds: units are (seed, dim).
 
@@ -215,9 +233,11 @@ def gp_sweep_plain(
     X_u = jnp.asarray(np.repeat(X_all, d, axis=0))          # (U, N, d)
     y_u = jnp.asarray(np.stack([dX_all[s, :, dim]
                                 for s in range(S) for dim in range(d)]))
+    k = min(N, const_subsample)  # rows are already a random subsample
     res = _run_sweep((ops, args, consts), (X_u, y_u),
                      _plain_unit_loss(spec), spec, cfg, rngs, group=1,
-                     topk=topk, verbose=verbose)
+                     topk=topk, verbose=verbose,
+                     data_small=(X_u[:, :k], y_u[:, :k]))
     # each res.best[u] is (ops (1,L), args, consts) — squeeze the group axis
     per_seed = [[tuple(arr[0] for arr in res.best[s * d + dim])
                  for dim in range(d)] for s in range(S)]
@@ -235,6 +255,7 @@ def gp_sweep_system(
     w_sym_reg: float = 0.0,
     topk: Optional[int] = None,
     verbose: bool = False,
+    const_subsample: int = 512,
 ):
     """Two-component system GP (optionally symmetry-regularized) for S seeds.
 
@@ -257,9 +278,13 @@ def gp_sweep_system(
         data = data + (jnp.asarray(gx_all), jnp.asarray(Jgx_all))
     else:
         data = data + (jnp.zeros((S, 0, N, d)), jnp.zeros((S, 0, N, d, d)))
+    k = min(N, const_subsample)  # rows are already a random subsample
+    data_small = (data[0][:, :k], data[1][:, :k],
+                  data[2][:, :, :k], data[3][:, :, :k])
     res = _run_sweep((ops, args, consts), data,
                      _system_unit_loss(spec, w_sym_reg, n_g), spec, cfg,
-                     rngs, group=2, topk=topk, verbose=verbose)
+                     rngs, group=2, topk=topk, verbose=verbose,
+                     data_small=data_small)
     per_seed = [tuple((res.best[s][0][c], res.best[s][1][c], res.best[s][2][c])
                       for c in range(2)) for s in range(S)]
     return per_seed, res

@@ -149,16 +149,50 @@ def _lbfgs_epoch_update(opt, hp: LBFGSHParams, xi_of, loss_fn, state, epoch,
             params = optax.apply_updates(params, updates)
             return (params, opt_state), value
     else:
-        def one_iter(carry, _):
-            params, opt_state = carry
-            value, grad = jax.value_and_grad(fn)(params)
-            updates, opt_state = opt.update(grad, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), value
+        # torch.optim.LBFGS inner-loop break conditions (lbfgs.py step()):
+        # max|g| <= tolerance_grad, per-iteration |loss - prev_loss| <
+        # tolerance_change, max|step| <= tolerance_change. A firing condition
+        # freezes the remainder of the epoch (torch breaks the while loop),
+        # so the outer convergence check sees the same stalled parameter
+        # delta the reference does. The loss here is an elementwise-mean in
+        # f32 exactly like torch's, so the literal 1e-9 comparison fires
+        # through f32 quantization the same way (consecutive equal floats).
+        TOL_CHANGE, TOL_GRAD = 1e-9, 1e-7
 
-    (new_params, new_opt_state), values = jax.lax.scan(
-        one_iter, (params, opt_state), None, length=hp.inner_iters
-    )
+        def one_iter(carry, i):
+            params, opt_state, prev_val, prev_step, frozen = carry
+            value, grad = jax.value_and_grad(fn)(params)
+            gmax = jnp.max(jnp.stack([jnp.max(jnp.abs(g))
+                                      for g in jax.tree_util.tree_leaves(grad)]))
+            frozen = jnp.logical_or(frozen, gmax <= TOL_GRAD)
+            frozen = jnp.logical_or(
+                frozen,
+                jnp.logical_and(
+                    i > 0,
+                    jnp.logical_or(prev_step <= TOL_CHANGE,
+                                   jnp.abs(value - prev_val) < TOL_CHANGE)))
+            updates, new_opt_state = opt.update(grad, opt_state, params)
+            step_max = jnp.max(jnp.stack([jnp.max(jnp.abs(u))
+                                          for u in jax.tree_util.tree_leaves(updates)]))
+            new_params = optax.apply_updates(params, updates)
+            keep = lambda n, o: jnp.where(frozen, o, n)
+            params = jax.tree_util.tree_map(keep, new_params, params)
+            opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
+            prev_val = jnp.where(frozen, prev_val, value)
+            prev_step = jnp.where(frozen, prev_step, step_max)
+            return (params, opt_state, prev_val, prev_step, frozen), value
+
+    if hp.linesearch:
+        (new_params, new_opt_state), values = jax.lax.scan(
+            one_iter, (params, opt_state), None, length=hp.inner_iters
+        )
+    else:
+        (new_params, new_opt_state, _, _, _), values = jax.lax.scan(
+            one_iter,
+            (params, opt_state, jnp.array(jnp.inf), jnp.array(jnp.inf),
+             jnp.array(False)),
+            jnp.arange(hp.inner_iters),
+        )
     loss = values[-1]
     # freeze updates once done
     new_params = jax.tree_util.tree_map(
