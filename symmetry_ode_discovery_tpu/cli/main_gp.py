@@ -123,12 +123,19 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
     task = args["task"]
     results = []
 
+    # Sweep-mode fitness batching (reference --pysr_bs analog): the per-seed
+    # protocol subsample can reach 10^4 rows (lv/selkov); cap the rows the
+    # device evaluates per generation. rng.choice is already uniform, so
+    # truncating keeps a uniform subsample of the protocol's subsample.
+    cap = args.get("gp_fitness_rows", 2500) or subsample_size
+    fit_rows = min(subsample_size, cap)
+
     for lo in range(0, n_seeds, chunk):
         sub_seeds = seeds[lo:lo + chunk]
         xs, dxs, gxs, Jgs = [], [], [], []
         for seed in sub_seeds:
             rng = np.random.default_rng(seed)
-            idx = rng.choice(len(x_all), subsample_size, replace=False)
+            idx = rng.choice(len(x_all), subsample_size, replace=False)[:fit_rows]
             xs.append(x_all[idx])
             dxs.append(dx_all[idx])
             if args["pysr_symmreg"]:

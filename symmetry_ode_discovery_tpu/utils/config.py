@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
     # Genetic-programming configuration (reference: PySR; here: symgp engine)
     parser.add_argument("--pysr_subsample", type=float, default=1.0)
     parser.add_argument("--pysr_bs", type=int, default=1000)
+    # Cap on rows used for GP fitness evaluation in sweep mode (the TPU
+    # analog of PySR's batching=True/batch_size: reference main_pysr.py:144
+    # ships --pysr_bs for exactly this purpose but leaves it commented out).
+    # 0 = no cap. Constant-optimization gradients use a further 512-row
+    # subsample (symgp/sweep.py).
+    parser.add_argument("--gp_fitness_rows", type=int, default=2500)
     parser.add_argument("--pysr_symmreg", action="store_true")
     # Run settings
     parser.add_argument("--gpu", type=int, default=0)
