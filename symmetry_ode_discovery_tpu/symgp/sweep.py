@@ -141,7 +141,7 @@ class SweepResult:
 
 def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
                rngs, group: int, topk: int, verbose: bool = False,
-               gen_cb=None, data_small=None):
+               gen_cb=None, data_small=None, select: str = "penalized"):
     """Shared evolution driver over a batch of units.
 
     populations: (ops (U,G*P,L), args, consts) numpy arrays.
@@ -149,6 +149,11 @@ def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
     data_small: optional row-subsampled copy of data_arrays for the
         constant-optimization gradient (see make_sweep_gen_step).
     rngs: per-unit np.random.Generator list (breeding).
+    select: which score picks the reported best — 'penalized' (loss +
+        parsimony * length, PySR model_selection='best' elbow behavior, the
+        plain-mode default) or 'raw' (pure loss, PySR 'accuracy' — what the
+        reference sets for the symmetry-regularized mode,
+        main_pysr.py:137,151). Breeding always uses the penalized fitness.
     """
     ops, args, consts = populations
     U = ops.shape[0]
@@ -170,10 +175,11 @@ def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
         consts = c_final
         lens = tape_length(ops.reshape(U * group * P, -1)).reshape(U, P, group).sum(-1)
         fit = base + cfg.parsimony * lens  # (U, P)
+        score = np.asarray(base) if select == "raw" else fit
         for u in range(U):
-            i = int(np.argmin(fit[u]))
-            if fit[u, i] < best_fit[u]:
-                best_fit[u] = float(fit[u, i])
+            i = int(np.argmin(score[u]))
+            if score[u, i] < best_fit[u]:
+                best_fit[u] = float(score[u, i])
                 rows = slice(group * i, group * (i + 1))
                 best[u] = (ops[u, rows].copy(), args[u, rows].copy(),
                            consts[u, rows].copy())
@@ -284,7 +290,7 @@ def gp_sweep_system(
     res = _run_sweep((ops, args, consts), data,
                      _system_unit_loss(spec, w_sym_reg, n_g), spec, cfg,
                      rngs, group=2, topk=topk, verbose=verbose,
-                     data_small=data_small)
+                     data_small=data_small, select="raw")
     per_seed = [tuple((res.best[s][0][c], res.best[s][1][c], res.best[s][2][c])
                       for c in range(2)) for s in range(S)]
     return per_seed, res
