@@ -118,7 +118,18 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
     from ..symgp.sweep import gp_sweep_plain, gp_sweep_system
     from ..symgp.tape import tape_to_string
 
-    seeds = list(range(seed0, seed0 + n_seeds))
+    # Resume support: a sweep interrupted by a TPU worker restart (the axon
+    # tunnel kills long-lived workers; see CLAUDE.md) re-runs only the seeds
+    # whose eval npz is missing. Pass --overwrite_eval to redo everything.
+    done_seeds = set()
+    if not args.get("overwrite_eval"):
+        for s in range(seed0, seed0 + n_seeds):
+            if os.path.exists(f"eval_results/{args['save_dir']}/seed{s}.npz"):
+                done_seeds.add(s)
+    if done_seeds:
+        print(f"resume: skipping {len(done_seeds)} already-evaluated seeds")
+
+    seeds = [s for s in range(seed0, seed0 + n_seeds) if s not in done_seeds]
     chunk = max(1, args.get("seed_chunk", 10))
     task = args["task"]
     results = []
@@ -130,7 +141,7 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
     cap = args.get("gp_fitness_rows", 2500) or subsample_size
     fit_rows = min(subsample_size, cap)
 
-    for lo in range(0, n_seeds, chunk):
+    for lo in range(0, len(seeds), chunk):
         sub_seeds = seeds[lo:lo + chunk]
         xs, dxs, gxs, Jgs = [], [], [], []
         for seed in sub_seeds:
@@ -146,16 +157,31 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
         dX = np.stack(dxs)
         cfg = GPConfig(pop_size=args.get("pysr_bs", 1000), n_generations=40,
                        seed=seed0)
-        if args["pysr_symmreg"]:
-            per_seed, _ = gp_sweep_system(
-                X, dX, spec, cfg, sub_seeds,
-                gx_all=np.stack(gxs), Jgx_all=np.stack(Jgs),
-                w_sym_reg=args["w_sym_reg"], verbose=args.get("print_eq", False))
-            eq_file = "equation_seed{}.txt"
-        else:
+
+        def run_chunk():
+            if args["pysr_symmreg"]:
+                per_seed, _ = gp_sweep_system(
+                    X, dX, spec, cfg, sub_seeds,
+                    gx_all=np.stack(gxs), Jgx_all=np.stack(Jgs),
+                    w_sym_reg=args["w_sym_reg"],
+                    verbose=args.get("print_eq", False))
+                return per_seed, "equation_seed{}.txt"
             per_seed, _ = gp_sweep_plain(X, dX, spec, cfg, sub_seeds,
                                          verbose=args.get("print_eq", False))
-            eq_file = "equations_seed{}.txt"
+            return per_seed, "equations_seed{}.txt"
+
+        # One retry per chunk: the axon tunnel occasionally restarts the TPU
+        # worker mid-run (FAILED_PRECONDITION on the next dispatch); the
+        # second attempt runs against the fresh worker. Completed chunks are
+        # already on disk, so a crashed process restarts where it left off.
+        import jax
+
+        try:
+            per_seed, eq_file = run_chunk()
+        except jax.errors.JaxRuntimeError as e:
+            print(f"chunk {sub_seeds[0]}-{sub_seeds[-1]} device error "
+                  f"({type(e).__name__}); retrying once")
+            per_seed, eq_file = run_chunk()
 
         for seed, best in zip(sub_seeds, per_seed):
             eqs = [tape_to_string(*b) for b in best]
