@@ -106,6 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
     # 0 = no cap. Constant-optimization gradients use a further 512-row
     # subsample (symgp/sweep.py).
     parser.add_argument("--gp_fitness_rows", type=int, default=2500)
+    # Redo seeds that already have eval npz files (GP sweep resume skips
+    # them by default so crashed sweeps restart where they left off).
+    parser.add_argument("--overwrite_eval", action="store_true")
     parser.add_argument("--pysr_symmreg", action="store_true")
     # Run settings
     parser.add_argument("--gpu", type=int, default=0)
