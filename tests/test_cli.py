@@ -9,23 +9,28 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def tiny_dosc_cache():
-    """Write a tiny clean dosc dataset into the cache the CLI reads
-    (noise 0.0 so it cannot collide with real experiment caches)."""
+def tiny_dosc_cache(tmp_path_factory):
+    """Write a tiny clean dosc dataset into an ISOLATED cache dir and point
+    the datasets module at it for the duration of the module, so test
+    fixtures can never shadow real experiment caches (the tiny 4-IC dt=0.05
+    file previously masqueraded as the real clean-dosc dataset)."""
+    from symmetry_ode_discovery_tpu.data import datasets as dsmod
     from symmetry_ode_discovery_tpu.data.systems import SYSTEMS
-    from symmetry_ode_discovery_tpu.data.datasets import DATA_PATH
     from symmetry_ode_discovery_tpu.ops.integrators import solve_ode_batch
 
-    os.makedirs(DATA_PATH, exist_ok=True)
+    path = str(tmp_path_factory.mktemp("tiny_dosc_cache"))
     sys_ = SYSTEMS["dosc"]
     for mode, n in [("train", 20), ("val", 4)]:
         x0 = sys_.sample_ics(jax.random.PRNGKey(0 if mode == "train" else 1), n)
         x, dx = solve_ode_batch(sys_.f, x0, dt=0.05, num_steps=40)
-        np.save(f"{DATA_PATH}/dosc-{mode}-noise00-x.npy",
+        np.save(f"{path}/dosc-{mode}-noise00-x.npy",
                 np.asarray(jnp.transpose(x, (1, 0, 2)), np.float32))
-        np.save(f"{DATA_PATH}/dosc-{mode}-noise00-dx.npy",
+        np.save(f"{path}/dosc-{mode}-noise00-dx.npy",
                 np.asarray(jnp.transpose(dx, (1, 0, 2)), np.float32))
-    return DATA_PATH
+    orig = dsmod.DATA_PATH
+    dsmod.DATA_PATH = path
+    yield path
+    dsmod.DATA_PATH = orig
 
 
 def _args(extra):
