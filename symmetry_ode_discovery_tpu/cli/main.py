@@ -292,6 +292,13 @@ def run(args: dict) -> dict:
                 carry = init_j(xs, dxs, keys)
                 for e in range(0, hp.num_epochs, epc):
                     carry = step_j(carry, e)
+                    # identical protocol, shorter wall clock: a done seed's
+                    # updates are frozen inside the epoch body, so once every
+                    # lane is done the remaining epochs are no-ops — skip
+                    # them. The scalar fetch also drains the async queue once
+                    # per host step (the symgp make_gen_step pattern).
+                    if bool(np.asarray(carry["done"]).all()):
+                        break
                 Xi_c, m_c = ext_j(carry)
                 parts.append((Xi_c[:keep], m_c[:keep]))
             Xi = jnp.concatenate([p[0] for p in parts], axis=0)
@@ -333,6 +340,8 @@ def run(args: dict) -> dict:
         step_j = jax.jit(step_f)
         for e in range(0, hp.num_epochs, epc):
             carry = step_j(carry, e)
+            if bool(np.asarray(carry["done"])):  # frozen past this point
+                break
         Xi, mask = jax.jit(extract_f)(carry)
     else:
         Xi, mask = jax.jit(run_one)(jnp.asarray(seed))

@@ -83,3 +83,21 @@ def test_cli_esindy_constrained(tiny_dosc_cache):
                        "--eq_constraint", "--repr", "(1,so2)",
                        "--ae_arch", "none", "--latent_dim", "2"]))
     assert res["correct_form"].all()
+
+
+def test_cli_symreg_sweep_host_stepped(tiny_dosc_cache):
+    """The symmetry-regularized multi-seed path: host-stepped epochs with the
+    all-done early exit must produce per-seed results (shape + eval npz)."""
+    from symmetry_ode_discovery_tpu.cli import main as m
+
+    res = m.run(_args([
+        "--sindy_optimizer", "lbfgs", "--lr_sindy", "1.0",
+        "--w_sindy_reg", "0.0", "--sindy_reg_type", "none",
+        "--threshold", "5e-2", "--st_freq", "10",
+        "--w_sym_reg", "1e-3", "--sym_reg_type", "i",
+        "--ae_arch", "mlp", "--hidden_dim", "16", "--n_layers", "2",
+        "--n_comps", "2", "--batch_norm", "--ortho_ae",
+        "--repr", "(2,1,2)", "--group_idx", "0",
+        "--lbfgs_subsample", "0.5", "--n_seeds", "2", "--seed_chunk", "2",
+    ]))
+    assert res["Xi"].shape[0] == 2
