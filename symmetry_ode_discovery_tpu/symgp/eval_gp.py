@@ -59,7 +59,11 @@ def expr_to_library_coeffs(expr_str: str, task: str,
     except sp.PolynomialError:
         return None, False
 
-    # exponent-tuple -> library index
+    # exponent-tuple -> library index. exp terms come AFTER any sine terms in
+    # FunctionLibrary order (ops/library.py); no shipped task combines sine
+    # with this projector, so guard rather than silently mis-index.
+    assert not _TASK_LIB[task].get("include_sine", False), (
+        "sine library terms are not handled by the GP form projector")
     E = lib.exponent_table()           # (n_poly, 2)
     n_poly = E.shape[0]
     table = {}

@@ -158,7 +158,13 @@ def _load_native():
 
     native_dir = os.path.join(os.path.dirname(__file__), "native")
     so = os.path.join(native_dir, "libevolve.so")
-    if not os.path.exists(so):
+    src = os.path.join(native_dir, "evolve.cpp")
+    stale = (os.path.exists(so) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(so))
+    if stale or not os.path.exists(so):
+        # a stale .so (older than evolve.cpp) may have drifted semantically;
+        # rebuild, and if the rebuild fails use the numpy fallback rather
+        # than silently diverging from the source
         try:
             subprocess.run(["bash", os.path.join(native_dir, "build.sh")],
                            check=True, capture_output=True, timeout=120)
@@ -186,12 +192,20 @@ _NATIVE = None
 _NATIVE_TRIED = False
 
 
-def breed(population, fitness, rng, spec: TapeSpec, cfg: GPConfig):
+def get_native():
+    """Process-wide cached handle to the C++ breeding core (None when
+    unavailable). ALL native users must come through here — _load_native can
+    shell out to the compiler, so calling it per generation is pathological
+    on toolchain-less machines."""
     global _NATIVE, _NATIVE_TRIED
     if not _NATIVE_TRIED:
         _NATIVE = _load_native()
         _NATIVE_TRIED = True
-    if _NATIVE is None:
+    return _NATIVE
+
+
+def breed(population, fitness, rng, spec: TapeSpec, cfg: GPConfig):
+    if get_native() is None:
         return breed_numpy(population, fitness, rng, spec, cfg)
 
     import ctypes
@@ -204,7 +218,7 @@ def breed(population, fitness, rng, spec: TapeSpec, cfg: GPConfig):
     fit = np.ascontiguousarray(fitness.astype(np.float32))
     bins = np.asarray(list(spec.binary_ops), np.int32)
     uns = np.asarray(list(spec.unary_ops) or [0], np.int32)
-    _NATIVE.breed(
+    get_native().breed(
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         args.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         consts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -226,10 +240,11 @@ def breed(population, fitness, rng, spec: TapeSpec, cfg: GPConfig):
 # Fitness + constant optimization (device)
 # ---------------------------------------------------------------------------
 
-def make_fitness_fn(spec: TapeSpec, X: jnp.ndarray, y: jnp.ndarray,
-                    parsimony: float):
-    """Plain per-dimension regression fitness: MSE(h(X), y) + parsimony * len
-    (reference main_pysr.py:170-212 loss + parsimony)."""
+def make_fitness_fn(spec: TapeSpec, X: jnp.ndarray, y: jnp.ndarray):
+    """Plain per-dimension regression device loss: MSE(h(X), y) with
+    non-finite (diverged / stack-overflowed) tapes scored +inf (reference
+    main_pysr.py:170-212 loss; the parsimony term is added on the host by
+    the evolution driver)."""
 
     @jax.jit
     def fitness(ops, args, consts):
@@ -237,38 +252,7 @@ def make_fitness_fn(spec: TapeSpec, X: jnp.ndarray, y: jnp.ndarray,
         mse = jnp.mean((pred - y[None, :]) ** 2, axis=1)
         return jnp.where(jnp.isfinite(mse), mse, jnp.inf)
 
-    def full(population):
-        ops, args, consts = population
-        base = np.asarray(fitness(jnp.asarray(ops), jnp.asarray(args), jnp.asarray(consts)))
-        return base + parsimony * tape_length(ops)
-
-    return full, fitness
-
-
-def make_const_optimizer(loss_fn, steps: int, lr: float):
-    """Compile-once vmapped Adam on every tape's constants simultaneously.
-
-    loss_fn(ops, args, consts) -> (P,) losses, differentiable in consts.
-    Returns run(ops, args, consts) -> optimized consts (jitted; reused across
-    generations — shapes are constant).
-    """
-    import optax
-
-    opt = optax.adam(lr)
-
-    @jax.jit
-    def run(opsj, argsj, c0):
-        def step(carry, _):
-            c, s = carry
-            g = jax.grad(lambda cc: jnp.sum(loss_fn(opsj, argsj, cc)))(c)
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-            upd, s = opt.update(g, s, c)
-            return (optax.apply_updates(c, upd), s), None
-
-        (c, _), _ = jax.lax.scan(step, (c0, opt.init(c0)), None, length=steps)
-        return c
-
-    return run
+    return fitness
 
 
 def make_gen_step(loss_fn, steps: int, lr: float, group: int = 1):
@@ -314,20 +298,18 @@ def symbolic_regression(
     y: np.ndarray,
     spec: TapeSpec,
     cfg: GPConfig,
-    fitness_pair=None,
+    device_loss=None,
     verbose: bool = False,
 ):
     """Evolve expressions fitting y = h(X). Returns (best individual, history).
 
-    fitness_pair optionally overrides (full_fitness(population)->np array,
-    device_loss(ops,args,consts)->jnp array) — used for the symmetry-
-    regularized objective.
+    device_loss optionally overrides the per-tape loss
+    (ops, args, consts) -> (P,); the driver adds the parsimony term.
     """
     rng = np.random.default_rng(cfg.seed)
     Xj, yj = jnp.asarray(X), jnp.asarray(y)
-    if fitness_pair is None:
-        fitness_pair = make_fitness_fn(spec, Xj, yj, cfg.parsimony)
-    full_fitness, device_loss = fitness_pair
+    if device_loss is None:
+        device_loss = make_fitness_fn(spec, Xj, yj)
 
     population = random_population(rng, spec, cfg.pop_size)
     gen_step = make_gen_step(device_loss, cfg.const_opt_steps, cfg.const_opt_lr)

@@ -95,16 +95,22 @@ def paired_breed(population, fitness_P, rng, spec: TapeSpec, cfg):
     """Breed pair-coherent groups: selection/crossover partners are whole
     (h1, h2) systems; variation applies per component. C++ core
     (breed_grouped) with a numpy fallback."""
-    from .evolve import _load_native, _splice, _mutate
+    from .evolve import get_native, _splice, _mutate
 
     ops, args, consts = population
     n_groups = ops.shape[0] // 2
-    lib = _load_native()
+    lib = get_native()
     if lib is not None:
         import ctypes
 
+        try:
+            grouped = lib.breed_grouped
+        except AttributeError:
+            # stale prebuilt binary without breed_grouped: numpy fallback
+            lib = None
+    if lib is not None:
         if not hasattr(lib, "_grouped_bound"):
-            lib.breed_grouped.argtypes = [
+            grouped.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -125,7 +131,7 @@ def paired_breed(population, fitness_P, rng, spec: TapeSpec, cfg):
         out_consts = np.zeros_like(consts_c)
         bins = np.asarray(list(spec.binary_ops), np.int32)
         uns = np.asarray(list(spec.unary_ops) or [0], np.int32)
-        lib.breed_grouped(
+        grouped(
             ops_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             args_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             consts_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -206,9 +212,12 @@ def symbolic_regression_system(
         population = (population[0], population[1], c_final)
         lens = tape_length(population[0]).reshape(-1, 2).sum(axis=1)
         fit = base + cfg.parsimony * lens
-        i = int(np.argmin(fit))
-        if fit[i] < best_fit:
-            best_fit = float(fit[i])
+        # reported best by RAW loss (PySR model_selection='accuracy', the
+        # reference's setting for the symmreg mode, main_pysr.py:137,151 —
+        # same rule as sweep.gp_sweep_system); breeding uses penalized fit
+        i = int(np.argmin(base))
+        if base[i] < best_fit:
+            best_fit = float(base[i])
             best = tuple((population[j][2 * i].copy(), population[j][2 * i + 1].copy())
                          for j in range(3))
         history.append(best_fit)

@@ -223,7 +223,6 @@ def gp_sweep_plain(
     [[(ops,args,consts) for dim in d] for seed in S].
     """
     S, N, d = X_all.shape
-    U = S * d
     topk = topk if topk is not None else max(1, cfg.pop_size // 4)
     rngs = [np.random.default_rng(int(1000 * s + dim))
             for s in seeds for dim in range(d)]

@@ -52,9 +52,14 @@ def eval_tapes(ops: jnp.ndarray, args: jnp.ndarray, consts: jnp.ndarray,
     """Evaluate a population of tapes on data.
 
     ops/args: (P, L) int32; consts: (P, L) float32; X: (N, n_vars).
-    Returns (P, N) predictions. Invalid programs (empty stack reads) produce
-    garbage values that the fitness layer penalizes via validity checking
-    (`tape_valid`); numeric blowups are clamped/NaN-checked by the caller.
+    Returns (P, N) predictions. Programs whose evaluation depth exceeds
+    `stack_depth` would silently clobber the top stack slot (the printed
+    expression would not be the one scored), so the interpreter tracks the
+    overflow and returns NaN for those tapes — the fitness layers' isfinite
+    guards then score them as +inf, excluding them from selection.
+    stack_depth is therefore a search-space bound (PySR's maxdepth analog),
+    not just a buffer size. Breeding keeps tapes postfix-valid (`tape_valid`
+    invariants); underflow reads cannot occur for valid tapes.
     """
     N = X.shape[0]
     XT = X.T  # (n_vars, N)
@@ -63,7 +68,7 @@ def eval_tapes(ops: jnp.ndarray, args: jnp.ndarray, consts: jnp.ndarray,
         stack0 = jnp.zeros((stack_depth, N), dtype=X.dtype)
 
         def step(carry, slot):
-            stack, sp = carry
+            stack, sp, bad = carry
             op, arg, cval = slot
             arity = jnp.asarray(ARITY)[op]
             # operands (reads below sp; safe-clamped indices)
@@ -97,11 +102,18 @@ def eval_tapes(ops: jnp.ndarray, args: jnp.ndarray, consts: jnp.ndarray,
             write_idx = jnp.clip(sp - arity, 0, stack_depth - 1)
             new_stack = jnp.where(op == PAD, stack, stack.at[write_idx].set(res))
             new_sp = jnp.clip(sp + delta, 0, stack_depth)
-            return (new_stack, new_sp), None
+            # a leaf push with the stack already full clobbers the top slot
+            bad = jnp.logical_or(
+                bad, jnp.logical_and(op != PAD,
+                                     jnp.logical_and(arity == 0,
+                                                     sp >= stack_depth)))
+            return (new_stack, new_sp, bad), None
 
-        (stack, sp), _ = jax.lax.scan(step, (stack0, jnp.asarray(0)),
-                                      (op_row, arg_row, const_row))
-        return stack[jnp.clip(sp - 1, 0, stack_depth - 1)]
+        (stack, sp, bad), _ = jax.lax.scan(
+            step, (stack0, jnp.asarray(0), jnp.asarray(False)),
+            (op_row, arg_row, const_row))
+        out = stack[jnp.clip(sp - 1, 0, stack_depth - 1)]
+        return jnp.where(bad, jnp.nan, out)
 
     return jax.vmap(eval_one)(ops, args, consts)
 
@@ -119,14 +131,12 @@ def tape_valid(ops: np.ndarray) -> np.ndarray:
     P, L = ops.shape
     depth = np.zeros(P, dtype=np.int64)
     ok = np.ones(P, dtype=bool)
-    started = np.zeros(P, dtype=bool)
     for i in range(L):
         op = ops[:, i]
         is_pad = op == PAD
         ar = ARITY[op]
         ok &= is_pad | (depth >= ar)
         depth = np.where(is_pad, depth, depth - ar + 1)
-        started |= ~is_pad
     ok &= depth == 1
     # no non-PAD after a PAD once program started
     for p in range(P):
@@ -140,7 +150,6 @@ def random_tape(rng: np.random.Generator, spec: TapeSpec, target_len: int):
     """Grow a random postfix program of approximately target_len slots."""
     ops, args, consts = [], [], []
     depth = 0
-    all_ops = list(spec.binary_ops) + list(spec.unary_ops)
     while len(ops) < target_len:
         remaining = target_len - len(ops)
         choices = []
@@ -229,7 +238,10 @@ def tape_to_string(op_row: np.ndarray, arg_row: np.ndarray, const_row: np.ndarra
 
 
 def tape_to_sympy(op_row, arg_row, const_row, var_names=None):
-    """Postfix -> sympy expression (for exact-form checking in tests/eval)."""
+    """Postfix -> sympy expression (for exact-form checking in tests/eval).
+
+    Raises ValueError on a malformed tape (operand underflow or multiple
+    roots) — the sympy sibling of tape_to_string's '<invalid>'."""
     import sympy as sp
 
     stack = []
@@ -237,6 +249,8 @@ def tape_to_sympy(op_row, arg_row, const_row, var_names=None):
         op = int(op)
         if op == PAD:
             continue
+        if op != CONST and op != VAR and len(stack) < ARITY[op]:
+            raise ValueError("malformed tape: operand underflow")
         if op == CONST:
             stack.append(sp.Float(float(c)))
         elif op == VAR:
@@ -254,4 +268,6 @@ def tape_to_sympy(op_row, arg_row, const_row, var_names=None):
             stack.append(sp.cos(stack.pop()))
         elif op == NEG:
             stack.append(-stack.pop())
+    if len(stack) != 1:
+        raise ValueError("malformed tape: expected exactly one root")
     return stack[-1]

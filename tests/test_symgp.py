@@ -138,3 +138,29 @@ def test_tape_to_sympy_roundtrip():
     x1 = sp.Symbol("x1")
     diff = sp.simplify(e - (sp.Float(np.float32(2 / 3)) - sp.Float(np.float32(4 / 3)) * sp.exp(x1)))
     assert abs(float(diff.subs(x1, 0.3))) < 1e-6
+
+
+def test_deep_tape_overflow_is_nan_not_garbage():
+    """A tape_valid-passing tape whose evaluation depth exceeds stack_depth
+    must evaluate to NaN (-> inf fitness), not a silently corrupted value.
+    Repro: 18 pushes saturate a 16-slot stack; the corrupted evaluation used
+    to return 552 instead of sum(1..18)+... for the chain below."""
+    from symmetry_ode_discovery_tpu.symgp.tape import ADD, CONST, PAD, eval_tapes
+
+    n_push, n_add = 18, 17
+    L = n_push + n_add
+    ops = np.array([[CONST] * n_push + [ADD] * n_add], np.int32)
+    args = np.zeros((1, L), np.int32)
+    consts = np.array([[float(i + 1) for i in range(n_push)] + [0.0] * n_add],
+                      np.float32)
+    assert tape_valid(ops).all()
+    X = np.zeros((3, 2), np.float32)
+    out = np.asarray(eval_tapes(jnp.asarray(ops), jnp.asarray(args),
+                                jnp.asarray(consts), jnp.asarray(X),
+                                stack_depth=16))
+    assert np.isnan(out).all()
+    # deep enough stack -> exact value, finite
+    out32 = np.asarray(eval_tapes(jnp.asarray(ops), jnp.asarray(args),
+                                  jnp.asarray(consts), jnp.asarray(X),
+                                  stack_depth=32))
+    np.testing.assert_allclose(out32, np.sum(np.arange(1, n_push + 1)))
