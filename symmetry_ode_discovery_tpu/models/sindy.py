@@ -121,7 +121,7 @@ def init_sindy(key: jax.Array, cfg: SINDyConfig, Q: Optional[np.ndarray] = None)
         beta = jax.random.normal(k1, (cfg.n_free,))
         const = jax.random.normal(k2, (d, 1))
         Qj = jnp.asarray(Q)
-        Xi = xi_from_beta(Qj, beta, const, d, p, cfg.use_kron_product, cfg.allow_constant)
+        Xi = xi_from_beta(Qj, beta, const, d, p, cfg.allow_constant)
     else:
         Xi = jax.random.normal(k3, (d, p))
         beta = jnp.zeros((0,))
@@ -135,7 +135,7 @@ def get_Xi(cfg: SINDyConfig, state: SINDyState) -> jnp.ndarray:
     if cfg.constraint:
         return xi_from_beta(
             state.Q, state.beta, state.const, cfg.latent_dim, cfg.n_terms,
-            cfg.use_kron_product, cfg.allow_constant,
+            cfg.allow_constant,
         )
     return state.Xi
 

@@ -125,15 +125,19 @@ def xi_from_beta(
     const: jnp.ndarray,
     d: int,
     p: int,
-    use_kron: bool,
     allow_constant: bool,
 ) -> jnp.ndarray:
-    """Xi = unvec(Q beta) [+ constant column] (reference sindy.py:169-176)."""
+    """Xi = unvec_row_major(Q beta) [+ constant column] (reference
+    sindy.py:169-176).
+
+    Q MUST be in the row-major vec(Xi) convention — which both producers
+    guarantee (`q_row_major` normalizes the host get_Q output for either
+    branch; `get_Q_padded_jnp` permutes its Sylvester branch on device), so
+    there is exactly one unvec here. A second convention switch keyed on the
+    branch (as the reference's mask.flatten() indexing effectively does,
+    sindy.py:273,282) would scramble Xi for Sylvester-branch constraints."""
     v = Q @ beta
-    if use_kron:
-        Xi = v.reshape(d, p)
-    else:
-        Xi = v.reshape(p, d).T
+    Xi = v.reshape(d, p)
     if allow_constant:
         pad = jnp.zeros((d, p - 1), dtype=Xi.dtype)
         Xi = Xi + jnp.concatenate([const.reshape(d, 1), pad], axis=1)

@@ -77,6 +77,11 @@ class PLBFGSConfig:
     st_freq: int = 100
     threshold: float = 1e-2
     tol: float = 1e-3
+    # lanes [0, n_beta) and [n_beta, n_params) are separate torch Parameters
+    # (beta, const): the reference's convergence delta sums PER-PARAMETER
+    # norms (train.py: sum(norm(p - p_prev))), not one concatenated norm.
+    # None = single parameter group.
+    n_beta: Optional[int] = None
 
 
 def _kernel(cfg: PLBFGSConfig, T_ref, Bvec_ref, q_ref, theta0_ref, mmap_ref,
@@ -117,7 +122,7 @@ def _kernel(cfg: PLBFGSConfig, T_ref, Bvec_ref, q_ref, theta0_ref, mmap_ref,
         return out
 
     def loss_and_grad(theta, mask):
-        xv = vec_of(theta)[:, : vec_valid.shape[1]]
+        xv = vec_of(theta)
         xm = xv * mask
         Sx = quad_grad_vec(xm)
         mse = (jnp.sum(xm * Sx, axis=1, keepdims=True)
@@ -125,7 +130,7 @@ def _kernel(cfg: PLBFGSConfig, T_ref, Bvec_ref, q_ref, theta0_ref, mmap_ref,
         loss = cfg.w_x * mse
         g_vec = (2.0 * cfg.w_x) * inv_nd * (Sx - Bvec) * mask
         # chain rule through Mmap: g_theta = g_vec @ Mmap
-        g = jnp.dot(g_vec, Mmap[: vec_valid.shape[1], :], preferred_element_type=f32)
+        g = jnp.dot(g_vec, Mmap, preferred_element_type=f32)
         g = g * param_mask
         if cfg.w_reg > 0.0 and cfg.reg_l1:
             loss = loss + cfg.w_reg * jnp.sum(jnp.abs(theta) * param_mask,
@@ -263,9 +268,26 @@ def _kernel(cfg: PLBFGSConfig, T_ref, Bvec_ref, q_ref, theta0_ref, mmap_ref,
 
         # all flags as f32 {0,1}: Mosaic cannot carry i1 vectors through scf.for
         nan = jnp.max(jnp.isnan(new_theta).astype(f32), axis=1, keepdims=True)
-        delta = jnp.sqrt(dotp(new_theta - prev, new_theta - prev))
+
+        def param_delta(a, b):
+            # reference convergence metric: SUM of per-Parameter norms
+            # (train.py computes sum(norm(p - p_prev) for p in parameters);
+            # beta and const are separate nn.Parameters in the constrained
+            # regressor, so sqrt(||db||^2 + ||dc||^2) would under-count by up
+            # to sqrt(2) and converge/threshold one state early)
+            dd = a - b
+            if cfg.n_beta is None:
+                return jnp.sqrt(dotp(dd, dd))
+            lane = jax.lax.broadcasted_iota(jnp.int32, (seeds, LANES), 1)
+            bmask = (lane < cfg.n_beta).astype(f32)
+            cmask = (lane >= cfg.n_beta).astype(f32) * (lane < n).astype(f32)
+            db = dd * bmask
+            dc = dd * cmask
+            return jnp.sqrt(dotp(db, db)) + jnp.sqrt(dotp(dc, dc))
+
+        delta = param_delta(new_theta, prev)
         conv = (delta < cfg.tol).astype(f32)
-        delta2 = jnp.sqrt(dotp(new_theta - pprev, new_theta - pprev))
+        delta2 = param_delta(new_theta, pprev)
         final_conv = conv * (delta2 < cfg.tol).astype(f32)
 
         iters_since_thresh = iters_since_thresh + 1
@@ -273,9 +295,12 @@ def _kernel(cfg: PLBFGSConfig, T_ref, Bvec_ref, q_ref, theta0_ref, mmap_ref,
             st_hit = ((iters_since_thresh % cfg.st_freq) == 0).astype(f32)
         else:
             st_hit = jnp.zeros_like(conv)
-        tf = (1.0 - done) * (1.0 - final_conv) * jnp.maximum(conv, st_hit)
+        # NaN seeds stop BEFORE thresholding (reference train.py:697-699
+        # breaks on the NaN check first; |NaN| > threshold would zero the mask)
+        tf = ((1.0 - done) * (1.0 - nan) * (1.0 - final_conv)
+              * jnp.maximum(conv, st_hit))
 
-        xv = vec_of(new_theta)[:, : mask.shape[1]]
+        xv = vec_of(new_theta)
         new_mask = jnp.where(
             tf > 0,
             (jnp.abs(xv) > cfg.threshold).astype(f32) * mask,

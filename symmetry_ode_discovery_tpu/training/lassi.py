@@ -35,7 +35,7 @@ import optax
 from ..models.autoencoder import AutoEncoderDef
 from ..models.discriminator import Discriminator
 from ..models import lie_generator as lg
-from ..models.lie_generator import GeneratorSpec, GeneratorState
+from ..models.lie_generator import GeneratorSpec
 
 
 def bce(p, target):
@@ -323,10 +323,14 @@ class LassiTrainer:
     def _epoch_impl(self, bundle, batch_stats, opt_state, sindy_carry, x_data, dx_data, key):
         hp = self.hp
         n = x_data.shape[0]
-        n_batches = n // hp.batch_size
+        # datasets smaller than batch_size train on one full-dataset batch
+        # (a zero-length scan would yield empty metrics whose mean is NaN,
+        # tripping the epoch-0 NaN bailout with an untrained state)
+        bs = min(hp.batch_size, n)
+        n_batches = n // bs
         kperm, kscan = jax.random.split(key)
-        perm = jax.random.permutation(kperm, n)[: n_batches * hp.batch_size]
-        perm = perm.reshape(n_batches, hp.batch_size)
+        perm = jax.random.permutation(kperm, n)[: n_batches * bs]
+        perm = perm.reshape(n_batches, bs)
 
         def batch_step(carry, scan_in):
             bundle, bstats, opt_state, sc, key = carry

@@ -98,7 +98,7 @@ def _make_param_fns(cfg: SINDyConfig, Q: Optional[jnp.ndarray]):
         def xi_of(params):
             const = params.get("const", jnp.zeros((d, 1)))
             return xi_from_beta(Q, params["beta"], const, d, p,
-                                cfg.use_kron_product, cfg.allow_constant)
+                                cfg.allow_constant)
 
     return init_params, xi_of
 
@@ -151,12 +151,15 @@ def _lbfgs_epoch_update(opt, hp: LBFGSHParams, xi_of, loss_fn, state, epoch,
     else:
         # torch.optim.LBFGS inner-loop break conditions (lbfgs.py step()):
         # max|g| <= tolerance_grad, per-iteration |loss - prev_loss| <
-        # tolerance_change, max|step| <= tolerance_change. A firing condition
-        # freezes the remainder of the epoch (torch breaks the while loop),
-        # so the outer convergence check sees the same stalled parameter
-        # delta the reference does. The loss here is an elementwise-mean in
-        # f32 exactly like torch's, so the literal 1e-9 comparison fires
-        # through f32 quantization the same way (consecutive equal floats).
+        # tolerance_change, max|step| <= tolerance_change, and the
+        # directional-derivative break gtd = g.d > -tolerance_change (checked
+        # before the step is applied, so a non-descent direction stalls the
+        # epoch without moving). A firing condition freezes the remainder of
+        # the epoch (torch breaks the while loop), so the outer convergence
+        # check sees the same stalled parameter delta the reference does. The
+        # loss here is an elementwise-mean in f32 exactly like torch's, so
+        # the literal 1e-9 comparison fires through f32 quantization the same
+        # way (consecutive equal floats).
         TOL_CHANGE, TOL_GRAD = 1e-9, 1e-7
 
         def one_iter(carry, i):
@@ -172,6 +175,11 @@ def _lbfgs_epoch_update(opt, hp: LBFGSHParams, xi_of, loss_fn, state, epoch,
                     jnp.logical_or(prev_step <= TOL_CHANGE,
                                    jnp.abs(value - prev_val) < TOL_CHANGE)))
             updates, new_opt_state = opt.update(grad, opt_state, params)
+            # updates = lr * d, so gtd = g.d = g.updates / lr
+            gtd = sum(jnp.sum(g * u) for g, u in
+                      zip(jax.tree_util.tree_leaves(grad),
+                          jax.tree_util.tree_leaves(updates))) / hp.lr_sindy
+            frozen = jnp.logical_or(frozen, gtd > -TOL_CHANGE)
             step_max = jnp.max(jnp.stack([jnp.max(jnp.abs(u))
                                           for u in jax.tree_util.tree_leaves(updates)]))
             new_params = optax.apply_updates(params, updates)
@@ -209,8 +217,12 @@ def _lbfgs_epoch_update(opt, hp: LBFGSHParams, xi_of, loss_fn, state, epoch,
         st_hit = n_iters % hp.st_freq == 0
     else:
         st_hit = jnp.array(False)
+    # NaN params stop BEFORE thresholding (reference train.py:697-699 breaks
+    # on the NaN check first) — otherwise an st_freq epoch that NaNed would
+    # zero the whole mask through |NaN| > threshold = False
     thresh_event = jnp.logical_and(
-        ~done, jnp.logical_and(~final_conv, jnp.logical_or(conv, st_hit)))
+        jnp.logical_and(~done, ~nan),
+        jnp.logical_and(~final_conv, jnp.logical_or(conv, st_hit)))
 
     Xi = xi_of(new_params)
     new_mask = jnp.where(

@@ -19,7 +19,6 @@ import numpy as np
 import optax
 
 from ..models.sindy import SINDyConfig
-from ..ops.constraint import xi_from_beta
 from .siged import _make_param_fns
 
 
@@ -109,9 +108,11 @@ class SIGEDAdamTrainer:
     def epoch(self, params, mask, opt_state, x_data, dx_data, key):
         hp = self.hp
         n = x_data.shape[0]
-        n_batches = max(1, n // hp.batch_size)
-        perm = jax.random.permutation(key, n)[: n_batches * hp.batch_size]
-        perm = perm.reshape(n_batches, hp.batch_size)
+        # datasets smaller than batch_size train on one full-dataset batch
+        bs = min(hp.batch_size, n)
+        n_batches = n // bs
+        perm = jax.random.permutation(key, n)[: n_batches * bs]
+        perm = perm.reshape(n_batches, bs)
 
         def step(carry, idx):
             params, opt_state = carry

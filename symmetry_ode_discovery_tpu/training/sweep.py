@@ -175,6 +175,9 @@ def _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k, interpret=False):
         inner_iters=hp.inner_iters, lr=hp.lr_sindy, w_x=hp.w_sindy_x,
         w_reg=hp.w_sindy_reg, reg_l1=(hp.sindy_reg_type == "l1"),
         st_freq=hp.st_freq, threshold=hp.threshold, tol=hp.tol,
+        # beta and const are separate torch Parameters: the convergence
+        # delta must sum their norms separately (reference train.py)
+        n_beta=(n_free if (cfg.constraint and cfg.allow_constant) else None),
     )
     th, mask, _ = pallas_lbfgs_sweep(pcfg, S, B, q, ne, th0, Mmap=Mmap,
                                      interpret=interpret)

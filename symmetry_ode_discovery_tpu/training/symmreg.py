@@ -92,7 +92,7 @@ def symmreg_f(
     """Finite symmetry loss (reference model_utils.py:69-124)."""
     z, _ = ae_def.encode(ae_params, batch_stats, x_fx, train=False)
     fx = x_fx[:, 1]
-    zm = None
+    zm = 0.0  # normalize='none' shifts by nothing (cf. _group_transform)
     if normalize == "in_batch":
         zm = z.mean(axis=0, keepdims=True)
         z = z - zm

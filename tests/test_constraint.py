@@ -73,7 +73,29 @@ def test_Q_so2_constraint_satisfied():
     for _ in range(5):
         beta = rng.standard_normal(Q.shape[1]).astype(np.float32)
         Xi = np.asarray(xi_from_beta(jnp.asarray(Q), jnp.asarray(beta),
-                                     jnp.zeros((2, 1)), 2, 6, use_kron, False))
+                                     jnp.zeros((2, 1)), 2, 6, False))
+        np.testing.assert_allclose(L @ Xi, Xi @ M, atol=2e-3)
+
+
+def test_Q_sylvester_branch_xi_equivariant():
+    """Singular L forces the Sylvester branch (det < 1e-5); the row-major
+    normalized Q + single row-major unvec in xi_from_beta must still produce
+    Xi satisfying the Lie-derivative constraint L Xi = Xi M. Regression for
+    the double-convention-switch bug (xi_from_beta used to re-apply a
+    column-major unvec on this branch, scrambling Xi)."""
+    from symmetry_ode_discovery_tpu.ops.constraint import q_row_major
+
+    L = np.array([[1.0, 0.0], [0.0, 0.0]])  # scaling in x only, singular
+    lib = FunctionLibrary(2, 2)
+    Q, use_kron = get_Q(lib, [L])
+    assert not use_kron
+    Q_rm = q_row_major(Q, 2, lib.n_terms, use_kron)
+    M = get_M_list(lib, [L])[0]
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        beta = rng.standard_normal(Q.shape[1]).astype(np.float32)
+        Xi = np.asarray(xi_from_beta(jnp.asarray(Q_rm), jnp.asarray(beta),
+                                     jnp.zeros((2, 1)), 2, 6, False))
         np.testing.assert_allclose(L @ Xi, Xi @ M, atol=2e-3)
 
 

@@ -67,3 +67,27 @@ def test_kernel_matches_optax_masks():
                                   np.arange(2), k=xf.shape[0] // 2, interpret=True)
     np.testing.assert_array_equal(res_opt.mask, res_pal.mask.reshape(res_opt.mask.shape))
     np.testing.assert_allclose(res_opt.Xi, res_pal.Xi, atol=1e-3)
+
+
+def test_kernel_constrained_const_growth():
+    """constrain_constant path: theta = [beta, const] are separate parameter
+    groups, so the kernel's convergence delta must SUM the two norms
+    (n_beta split) like the reference's per-Parameter sum. Exercises the
+    growth scaling2 protocol end-to-end in interpret mode."""
+    from symmetry_ode_discovery_tpu.data.systems import SYSTEMS
+    from symmetry_ode_discovery_tpu.ops.integrators import solve_ode_batch
+
+    sys_ = SYSTEMS["growth"]
+    x0 = sys_.sample_ics(jax.random.PRNGKey(0), 30)
+    x, dx = solve_ode_batch(sys_.f, x0, dt=0.02, num_steps=80)
+    xf = jnp.transpose(x, (1, 0, 2)).reshape(-1, 2)
+    dxf = jnp.transpose(dx, (1, 0, 2)).reshape(-1, 2)
+    L = np.array([[2.0, 0.0], [0.0, 1.0]])
+    cfg, Q = make_config(2, poly_order=2, L_list=[L], constrain_constant=True,
+                         threshold=5e-2)
+    hp = LBFGSHParams(num_epochs=40, lr_sindy=1.0, w_sindy_reg=0.0,
+                      sindy_reg_type="none", st_freq=40, threshold=5e-2)
+    res = _pallas_lbfgs_sweep(cfg, Q, xf, dxf, sindy_truth["growth"], hp,
+                              np.arange(4), k=xf.shape[0] // 2, interpret=True)
+    assert res.correct_form.all(), res.Xi
+    assert (res.mse < 1e-4).all()
