@@ -164,7 +164,9 @@ def _rd_split(n_samples: int, mode: str) -> np.ndarray:
         return np.arange(int(0.8 * n_samples))
     if mode == "val":
         return np.arange(int(0.8 * n_samples), int(0.9 * n_samples))
-    return np.arange(int(0.9 * n_samples), n_samples)
+    if mode == "test":
+        return np.arange(int(0.9 * n_samples), n_samples)
+    raise ValueError(f"unknown RD split mode {mode!r}")
 
 
 def _load_rd(path=None):
@@ -182,6 +184,22 @@ def _load_rd(path=None):
     return sio.loadmat(path)
 
 
+def _rd_snapshots(data: dict, mode: str):
+    """Shared RD preamble: 1e-6 jitter (reference dataset.py:66-67, fixed
+    rng), consecutive split, (n_sel, N) time-major snapshot matrices.
+    Returns (xs, dxs, samples, N)."""
+    n_samples = data["t"].size
+    n = data["x"].size
+    N = n * n
+    rng = np.random.default_rng(0)
+    uf = data["uf"] + 1e-6 * rng.standard_normal(data["uf"].shape)
+    duf = data["duf"] + 1e-6 * rng.standard_normal(data["duf"].shape)
+    samples = _rd_split(n_samples, mode)
+    xs = uf[:, :, samples].reshape(N, -1).T
+    dxs = duf[:, :, samples].reshape(N, -1).T
+    return xs, dxs, samples, N
+
+
 class ReactionDiffusionDataset:
     """Per-snapshot RD samples: x = uf fields flattened over the grid
     (reference dataset.py:60-114)."""
@@ -189,18 +207,12 @@ class ReactionDiffusionDataset:
     def __init__(self, data: dict, mode: str = "train"):
         import jax.numpy as jnp
 
-        n_samples = data["t"].size
-        n = data["x"].size
-        N = n * n
-        rng = np.random.default_rng(0)
-        uf = data["uf"] + 1e-6 * rng.standard_normal(data["uf"].shape)
-        duf = data["duf"] + 1e-6 * rng.standard_normal(data["duf"].shape)
-        samples = _rd_split(n_samples, mode)
+        xs, dxs, samples, N = _rd_snapshots(data, mode)
         self.t = data["t"].reshape(-1)[samples]
         self.y1 = data["x"].reshape(-1)
         self.y2 = data["y"].reshape(-1)
-        self.x = jnp.asarray(uf[:, :, samples].reshape(N, -1).T, jnp.float32)
-        self.dx = jnp.asarray(duf[:, :, samples].reshape(N, -1).T, jnp.float32)
+        self.x = jnp.asarray(xs, jnp.float32)
+        self.dx = jnp.asarray(dxs, jnp.float32)
         self.input_dim = N
 
     @classmethod
@@ -221,16 +233,7 @@ class MultiTimestepReactionDiffusionDataset:
     def __init__(self, data: dict, mode: str = "train", n_timesteps: int = 2):
         import jax.numpy as jnp
 
-        n_samples = data["t"].size
-        n = data["x"].size
-        N = n * n
-        rng = np.random.default_rng(0)
-        uf = data["uf"] + 1e-6 * rng.standard_normal(data["uf"].shape)
-        duf = data["duf"] + 1e-6 * rng.standard_normal(data["duf"].shape)
-        samples = _rd_split(n_samples, mode)
-        # (N, n_sel) snapshots in time order
-        xs = uf[:, :, samples].reshape(N, -1).T
-        dxs = duf[:, :, samples].reshape(N, -1).T
+        xs, dxs, samples, N = _rd_snapshots(data, mode)
         self.n_timesteps = n_timesteps
         # reference windows: samples[i-n_timesteps:i] for i in [n_timesteps, len)
         idx = np.arange(n_timesteps, len(samples))

@@ -16,8 +16,9 @@ from typing import Dict, Optional
 import numpy as np
 
 # Ground-truth coefficient matrices in the library's term ordering
-# (reference evaluation/eval_eq.py:88-105). lv uses poly2+exp (10-col basis is
-# [1, z0, z1, z0z0, z0z1, z1z1, exp(z0), exp(z1)]); dosc/growth use poly2.
+# (reference evaluation/eval_eq.py:88-105). lv uses poly2+exp (8-col basis
+# [1, z0, z1, z0z0, z0z1, z1z1, exp(z0), exp(z1)]); dosc/growth use poly2
+# (6 cols); selkov poly3 (10 cols).
 sindy_truth: Dict[str, np.ndarray] = {
     "lv": np.array([
         [2 / 3, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -4 / 3],

@@ -166,7 +166,13 @@ def init_generator(key: jax.Array, spec: GeneratorSpec) -> GeneratorState:
             Li.append(jax.random.normal(sub, (b.n_channels, b.block_dim, b.block_dim)))
         else:
             Li.append(jnp.asarray(b.fixed_Li))
-        sigma.append(jnp.eye(b.n_channels) * spec.sigma_init)
+        # the scalar '(N,)' identity block is the one whose sigma the
+        # reference leaves at eye(1) WITHOUT the sigma_init factor
+        # (gan.py:104 vs :93 and the fixed groups :117-168); it is also the
+        # only sigma created without requires_grad=False there, which is
+        # what sigma_trainable records
+        s0 = 1.0 if b.sigma_trainable else spec.sigma_init
+        sigma.append(jnp.eye(b.n_channels) * s0)
         struct_const.append(jnp.zeros((b.n_channels, b.n_channels, b.n_channels)))
         masks.append(jnp.ones((b.n_channels, b.block_dim, b.block_dim)))
     return GeneratorState(Li=tuple(Li), sigma=tuple(sigma),
@@ -186,15 +192,27 @@ def trainable_filter(spec: GeneratorSpec, state: GeneratorState):
 
 
 def _effective_Li(spec: GeneratorSpec, state: GeneratorState, i: int,
-                  key: Optional[jax.Array] = None) -> jnp.ndarray:
-    """f(Li) * mask, with optional integer reparameterization (reference
-    gan.py:289-293). `key` enables the stochastic rounding of IntParameter
-    (gan.py:9-17); None uses noiseless rounding."""
+                  key: Optional[jax.Array] = None,
+                  int_round: bool = False) -> jnp.ndarray:
+    """f(Li) * mask, with optional integer reparameterization.
+
+    The reference applies IntParameter ONLY while sampling group elements
+    (gan.py:290-291); regularizers, get_full_basis_list, and getLi all use
+    the continuous f(Li) * mask (gan.py:199-229, 306-330, 377-380 — the
+    int-rounded getLi variant is commented out there). int_round=True is
+    therefore passed only by sample_group_element; rounding elsewhere would
+    zero the regularizer gradients (piecewise-constant) and hand the symmetry
+    losses a different basis than the reference. `key` enables IntParameter's
+    stochastic rounding noise (gan.py:9-17).
+
+    NOT reproduced: the reference line gan.py:292-293 then overwrites the
+    rounded Li with f(Li) * mask for masked learnable blocks, making
+    int_param fully inert — a bug (no shipped config uses --int_param)."""
     b = spec.blocks[i]
     L = state.Li[i]
     if b.skew:
         L = L - jnp.swapaxes(L, -1, -2)
-    if b.learnable and spec.int_param:
+    if int_round and b.learnable and spec.int_param:
         noise = (jax.random.normal(key, L.shape) * spec.int_param_noise
                  if key is not None else 0.0)
         k = spec.int_param_max
@@ -258,14 +276,19 @@ def reg_closure(spec: GeneratorSpec, state: GeneratorState) -> jnp.ndarray:
 def sample_coefficient(spec: GeneratorSpec, key: jax.Array, batch_size: int,
                        n_channels: int, sigma: jnp.ndarray,
                        activated_channel: Optional[int] = None) -> jnp.ndarray:
-    """reference gan.py:350-365."""
+    """reference gan.py:350-365. The amplitude for ALL coef_dist modes is the
+    per-group `params` argument, which the caller binds to sigma
+    (gan.py:286) — the reference's kwargs['uniform_max'] never reaches
+    sampling. Its uniform broadcast (batch, ch) * (ch, ch) only works at
+    n_channels == 1, where sigma is the (1, 1) matrix [[sigma_init]]."""
     if spec.coef_dist == "normal":
         z = jax.random.normal(key, (batch_size, n_channels)) @ sigma
     elif spec.coef_dist == "uniform":
-        z = jax.random.uniform(key, (batch_size, n_channels)) * 2 * spec.uniform_max - spec.uniform_max
+        z = jax.random.uniform(key, (batch_size, n_channels)) * 2 * sigma - sigma
     elif spec.coef_dist == "uniform_int_grid":
+        bound = int(sigma.reshape(-1)[0])  # eager-only, like the ref's int(tensor)
         z = jax.random.randint(key, (batch_size, n_channels),
-                               -int(spec.uniform_max), int(spec.uniform_max)).astype(jnp.float32)
+                               -bound, bound).astype(jnp.float32)
     else:
         raise ValueError(f"Unknown coef_dist: {spec.coef_dist}")
     if activated_channel is not None:
@@ -291,7 +314,8 @@ def sample_group_element(spec: GeneratorSpec, state: GeneratorState, key: jax.Ar
     start = 0
     for i, b in enumerate(spec.blocks):
         key, sub = jax.random.split(key)
-        L = _effective_Li(spec, state, i, key=sub if spec.int_param else None)
+        L = _effective_Li(spec, state, i, key=sub if spec.int_param else None,
+                          int_round=True)
         z = z_dict[b.group_idx]
         g_z = expm(jnp.einsum("bj,jkl->bkl", z, L))  # (batch, d, d)
         for _ in range(b.n_comps):
@@ -355,6 +379,12 @@ def get_deterministic_group_elems(spec: GeneratorSpec, state: GeneratorState,
     for gi in spec.group_ids:
         i = next(j for j, b in enumerate(spec.blocks) if b.group_idx == gi)
         sigmas.append(state.sigma[i])
+    if split_channel:
+        # basis is a flat per-channel list: expand each group's diagonal
+        # sigma entries to stay aligned (the reference zips the per-block
+        # sigma list against this flat list, silently dropping every channel
+        # past the group count — gan.py:339-344; no caller exercises it)
+        sigmas = [s[c, c] for s in sigmas for c in range(s.shape[0])]
     g_list = []
     for sigma, L in zip(sigmas, basis):
         if L.ndim == 3:

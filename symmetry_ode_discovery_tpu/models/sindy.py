@@ -211,7 +211,7 @@ def solve_sindy_one_step(
             new_state = state.replace(beta=sol)
 
     Xi = get_Xi(cfg, new_state)
-    resid = jnp.mean((cfg.library(x) @ (Xi * state.mask).T - y) ** 2)
+    resid = jnp.mean((theta @ (Xi * state.mask).T - y) ** 2)
     new_state = set_threshold(cfg, new_state, st_threshold)
     converged = jnp.all(new_state.mask == state.mask)
     return new_state, resid, converged

@@ -197,14 +197,23 @@ def test_generator_int_param_rounding():
     state = state.replace(Li=(jnp.array([[[0.3, -0.6], [1.2, 0.05]]]),))
     g = lg.sample_group_element(spec, state, jax.random.PRNGKey(1), 4)
     assert np.isfinite(np.asarray(g)).all()
-    # effective Li entries are round(2 * Li) clipped to [-2, 2]
     from symmetry_ode_discovery_tpu.models.lie_generator import _effective_Li
-    L = np.asarray(_effective_Li(spec, state, 0))
+
+    # sampling context (int_round=True): round(2 * Li) clipped to [-2, 2]
+    L = np.asarray(_effective_Li(spec, state, 0, int_round=True))
     np.testing.assert_allclose(L, [[[1.0, -1.0], [2.0, 0.0]]])
+    # every other context (regularizers / basis export, reference
+    # gan.py:199-229,306-330) uses the CONTINUOUS f(Li) * mask
+    L_cont = np.asarray(_effective_Li(spec, state, 0))
+    np.testing.assert_allclose(L_cont, [[[0.3, -0.6], [1.2, 0.05]]], atol=1e-7)
 
 
 def test_generator_uniform_coef_dist():
-    spec = lg.parse_repr("(1,so2)", "0", coef_dist="uniform", uniform_max=0.5)
+    """Uniform amplitude comes from sigma (= sigma_init), NOT uniform_max:
+    the reference binds self.sigma[i] to the sampling params slot
+    (gan.py:286,354-356) and never reads kwargs['uniform_max']."""
+    spec = lg.parse_repr("(1,so2)", "0", coef_dist="uniform", sigma_init=0.5,
+                         uniform_max=123.0)
     state = lg.init_generator(jax.random.PRNGKey(0), spec)
     z = lg.sample_coefficient(spec, jax.random.PRNGKey(1), 1000, 1,
                               state.sigma[0])
