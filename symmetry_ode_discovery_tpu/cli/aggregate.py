@@ -36,7 +36,7 @@ def main(argv=None):
     import os
 
     directory = os.path.join(args.result_dir, args.run_name)
-    cf, mse = [], []
+    cf, mse, cf_all, mse_all = [], [], [], []
     for filename in os.listdir(directory):
         if not filename.endswith(".npz"):
             continue
@@ -46,17 +46,33 @@ def main(argv=None):
         res = np.load(os.path.join(directory, filename))
         cf.append(res["correct_form"])
         mse.append(res["mse"])
+        cf_all.append(res["correct_form_all"])
+        mse_all.append(res["mse_all"])
     cf = np.stack(cf)
-    rmse = np.sqrt(np.stack(mse))
-    rmse = np.where(np.isnan(rmse), np.nanmax(rmse), rmse)
+    cf_all = np.asarray(cf_all)
     n = cf.shape[0]
     print(f"Loaded results from {n} runs.")
     for i in range(cf.shape[1]):
         print(f"Equation {i} success rate = {int(cf[:, i].sum())}/{n}")
-    print(f"Joint success rate = {int(np.all(cf, axis=1).sum())}/{n}")
+    print(f"Joint success rate = {int(np.sum(cf_all))}/{n}")
+    # notebook cell 2: NaN RMSE entries imputed with the max observed RMSE,
+    # then BOTH the correct-form-only ('valid') and all-seed ('any') stats
+    mm = args.mse_multiplier
+    rmse = np.sqrt(np.stack(mse))
+    rmse[np.isnan(rmse)] = np.max(rmse[~np.isnan(rmse)])
     for i in range(rmse.shape[1]):
-        m, s = rmse[:, i].mean() * args.mse_multiplier, rmse[:, i].std() * args.mse_multiplier
-        print(f"Equation {i} RMSE (imputed) = {m:.4f} ({s:.4f})")
+        sel = np.where(cf[:, i])
+        print(f"Equation {i} RMSE = {np.mean(rmse[sel, i]) * mm:.4f} "
+              f"({np.std(rmse[sel, i]) * mm:.4f})")
+        print(f"Equation {i} RMSE (any) = {np.mean(rmse[:, i]) * mm:.4f} "
+              f"({np.std(rmse[:, i]) * mm:.4f})")
+    rmse_all = np.sqrt(np.asarray(mse_all))
+    rmse_all[np.isnan(rmse_all)] = np.max(rmse_all[~np.isnan(rmse_all)])
+    sel = np.where(cf_all)
+    print(f"All equations RMSE = {np.mean(rmse_all[sel]) * mm:.4f} "
+          f"({np.std(rmse_all[sel]) * mm:.4f})")
+    print(f"All equations RMSE (any) = {np.mean(rmse_all) * mm:.4f} "
+          f"({np.std(rmse_all) * mm:.4f})")
 
 
 if __name__ == "__main__":

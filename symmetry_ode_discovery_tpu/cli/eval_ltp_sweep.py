@@ -114,6 +114,11 @@ def run(args: dict) -> dict:
             f"p={cfg.n_terms} — pass the run's own --config")
 
     truth = sindy_truth.get(task)
+    if truth is not None and truth.shape != coefs.shape[1:]:
+        raise SystemExit(
+            f"truth table for {task!r} is {truth.shape} but the run's "
+            f"coefficients are {coefs.shape[1:]} — the run used a different "
+            f"library than the task's evaluation basis")
     stack = np.concatenate([coefs, truth[None]], axis=0) if truth is not None else coefs
     rel = np.asarray(ltp_sweep_errors(cfg, stack, x, dt))
     rel_seeds, rel_truth = (rel[:-1], rel[-1:]) if truth is not None else (rel, None)

@@ -143,15 +143,21 @@ def run(args: dict) -> dict:
         L_list=L_list, constrain_constant=args["constrain_constant"],
         threshold=args["threshold"],
     )
+    if args["distill_latent"] and not args["use_latent"]:
+        # reference train.py:624-625 raises the same way; silently ignoring
+        # the flag would ALSO kick the run off the Pallas fast path below
+        raise ValueError("Cannot distill without first learning latent space "
+                         "equation (--use_latent)")
     hp = LBFGSHParams(
         num_epochs=args["num_epochs"], lr_sindy=args["lr_sindy"],
         w_sindy_x=args["w_sindy_x"], w_sindy_reg=args["w_sindy_reg"],
         sindy_reg_type=args["sindy_reg_type"], w_sym_reg=args["w_sym_reg"],
         st_freq=args["st_freq"], threshold=args["threshold"],
-        # symmetry-regularized losses: fixed-lr L-BFGS (torch semantics).
-        # The zoom linesearch embeds the large symreg autodiff graph several
-        # times per iteration and blows up compile time/memory.
-        linesearch=not (args["w_sym_reg"] > 0.0),
+        # fixed-lr torch.optim.LBFGS semantics on every path (the reference
+        # never uses a line search, train.py:630) — also required for the
+        # symreg losses, where the zoom linesearch would embed the big
+        # autodiff graph several times per iteration.
+        linesearch=False,
     )
     sym_reg_fn = None
     sym_reg_prep = None
@@ -205,18 +211,24 @@ def run(args: dict) -> dict:
         tr = SIGEDAdamTrainer(cfg, jnp.asarray(Q) if Q is not None else None,
                               ahp, sym_reg_fn=sym_reg_fn, latent_fns=latent_fns,
                               basis_list=basis_list)
-        Xi, mask, _ = train_siged_adam(tr, x_all, dx_all, key,
-                                       verbose=args["print_eq"],
-                                       log_interval=args["log_interval"])
-        ckpt.save_pytree(f"saved_models/{args['save_dir']}/regressor.npz",
-                         {"Xi": Xi, "mask": mask})
         truth = sindy_truth.get(args["task"])
-        if truth is not None:
-            results = eval_sindy_coefficients(np.asarray(Xi), np.asarray(mask), truth)
-            save_eval_results(results, args["save_dir"], seed)
-            print(f"Correct form: {results['correct_form']}")
-            return results
-        return {"Xi": np.asarray(Xi), "mask": np.asarray(mask)}
+        # --n_seeds: the Adam trainer's outer thresholding loop is host-
+        # driven, so seeds run sequentially (vs the vmapped L-BFGS sweeps)
+        out = None
+        for s in range(seed, seed + args.get("n_seeds", 1)):
+            Xi, mask, _ = train_siged_adam(tr, x_all, dx_all,
+                                           jax.random.PRNGKey(s),
+                                           verbose=args["print_eq"],
+                                           log_interval=args["log_interval"])
+            ckpt.save_pytree(f"saved_models/{args['save_dir']}/regressor.npz",
+                             {"Xi": Xi, "mask": mask})
+            if truth is not None:
+                out = eval_sindy_coefficients(np.asarray(Xi), np.asarray(mask), truth)
+                save_eval_results(out, args["save_dir"], s)
+                print(f"seed {s} correct form: {out['correct_form']}")
+            else:
+                out = {"Xi": np.asarray(Xi), "mask": np.asarray(mask)}
+        return out
 
     def run_one(seed_scalar):
         kk = jax.random.fold_in(jax.random.PRNGKey(0), seed_scalar)
@@ -250,9 +262,11 @@ def run(args: dict) -> dict:
 
             res = sweep_sindy_lbfgs(cfg, Q, x_all, dx_all, truth, hp,
                                     np.arange(seed, seed + n_seeds),
-                                    lbfgs_subsample=args["lbfgs_subsample"])
+                                    lbfgs_subsample=args["lbfgs_subsample"],
+                                    n_mesh_devices=args.get("mesh_devices", 0))
+            results = res.results_list()
             for i, s in enumerate(range(seed, seed + n_seeds)):
-                save_eval_results(res.results_list()[i], args["save_dir"], s)
+                save_eval_results(results[i], args["save_dir"], s)
             print(f"Swept {n_seeds} seeds -> eval_results/{args['save_dir']}")
             return {"Xi": res.Xi, "mask": res.mask}
         seeds = jnp.arange(seed, seed + n_seeds)

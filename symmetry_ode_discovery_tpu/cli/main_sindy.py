@@ -32,7 +32,8 @@ def run(args: dict) -> dict:
     res = sweep_sindy_stlsq(cfg, Q, train_ds.x, train_ds.dx, truth, seeds,
                             w_sindy_reg=args["w_sindy_reg"],
                             threshold=args["threshold"],
-                            max_iter=max(5, args["num_epochs"] // 20))
+                            max_iter=max(5, args["num_epochs"] // 20),
+                            n_mesh_devices=args.get("mesh_devices", 0))
     results = res.results_list()
     for i, s in enumerate(seeds):
         save_eval_results(results[i], args["save_dir"], int(s))

@@ -24,7 +24,7 @@ def run(args: dict) -> dict:
 
     seed = args["seed"]
     train_ds, _, args = get_dataset(args)
-    x = train_ds.x.reshape(train_ds.n_ics, train_ds.n_steps, -1)
+    x = train_ds.trajs_x  # (n_ics, n_steps, dim) view the dataset already holds
     dt = ode_dt_dict[args["task"]]
 
     cfg, _ = make_config(args["input_dim"], poly_order=args["poly_order"],
@@ -37,7 +37,8 @@ def run(args: dict) -> dict:
     res = sweep_wsindy(cfg, x, dt, truth, seeds,
                        w_sindy_reg=args["w_sindy_reg"],
                        threshold=args["threshold"],
-                       num_epochs=args["num_epochs"])
+                       num_epochs=args["num_epochs"],
+                       n_mesh_devices=args.get("mesh_devices", 0))
 
     results = res.results_list()
     for i, s in enumerate(seeds):

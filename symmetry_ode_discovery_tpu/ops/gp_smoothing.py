@@ -137,7 +137,11 @@ def fit_sigma_in(Y, t, noise_sigma, sigma_out, sigma_in0):
 
     def loss(logx):
         s_in = float(np.exp(logx[0]))
-        K = np.asarray(rbf_kernel(jnp.asarray(t), sigma_out, s_in))
+        # numpy f64 kernel: the jnp rbf_kernel would round to f32 on device
+        # (exactly the cond ~ noise^-2 regime this host path exists to avoid)
+        # and pay a host<->device round trip per Powell evaluation
+        d2 = (t[:, None] - t[None, :]) ** 2
+        K = sigma_out ** 2 * np.exp(-d2 / (2 * s_in ** 2))
         W = np.linalg.inv(1.0 / tau * np.linalg.inv(K) + np.eye(K.shape[0]))
         b = Y.T  # A orthogonal => Y @ A has the same row space; S below is invariant
         S = np.abs(np.sum(Y ** 2) - np.sum(np.diag(b @ W @ b.T)))

@@ -8,7 +8,9 @@ mask/optimizer mutation becomes a `lax.scan` over a fixed epoch budget with a
 the reference's sequential 50-seed bash sweep into one batched TPU program.
 
 Optimizer mapping: torch.optim.LBFGS(lr, max_iter=20, no line search) maps to
-`optax.lbfgs` with zoom linesearch, 20 inner iterations per epoch. The outer
+`optax.lbfgs(linesearch=None)` with the torch inner-loop stall breaks
+(fixed-lr, the default; hp.linesearch=True opts into zoom instead), 20 inner
+iterations per epoch. The outer
 control flow is preserved exactly (reference train.py:692-725):
   - epoch := 20 L-BFGS iterations on the fixed full batch;
   - convergence when sum of per-parameter update norms < 1e-3;
@@ -48,7 +50,12 @@ class LBFGSHParams:
     threshold: float = 1e-2
     tol: float = 1e-3
     inner_iters: int = 20  # torch LBFGS max_iter default
-    linesearch: bool = True  # zoom linesearch; False = fixed-lr (torch-like)
+    # False (default) = fixed-lr, torch.optim.LBFGS semantics incl. the
+    # inner-loop stall breaks — what the reference actually runs everywhere
+    # (train.py:630, no line_search_fn) and what the Pallas kernel
+    # implements. True = optax zoom linesearch (an optimization upgrade the
+    # reference never had; changes sweep statistics).
+    linesearch: bool = False
 
 
 @struct.dataclass
