@@ -65,18 +65,25 @@ def main():
                                  sindy_truth["growth"], hp_g, seeds,
                                  lbfgs_subsample=0.5, backend="pallas")
 
-    # Warmup: compile (first compile through the TPU tunnel is slow and not
-    # representative of sweep throughput).
-    run_lv()
-    run_growth()
+    def timed(fn, attempts=3):
+        """Run fn with a warmup + timed pass, retrying on transient tunnel
+        failures (the axon TPU worker sporadically restarts under load; the
+        next dispatch then raises FAILED_PRECONDITION — see CLAUDE.md)."""
+        for attempt in range(attempts):
+            try:
+                fn()  # warmup / compile (first tunnel compile is 20-60 s)
+                t0 = time.time()
+                res = fn()
+                return res, time.time() - t0
+            except Exception as e:  # jax runtime errors don't share one type
+                if attempt == attempts - 1:
+                    raise
+                print(f"bench attempt {attempt}: {type(e).__name__}; retrying",
+                      file=sys.stderr)
+                time.sleep(20.0)
 
-    t0 = time.time()
-    res_lv = run_lv()
-    wall_lv = time.time() - t0
-
-    t0 = time.time()
-    res_g = run_growth()
-    wall_g = time.time() - t0
+    res_lv, wall_lv = timed(run_lv)
+    res_g, wall_g = timed(run_growth)
 
     def stats(res):
         joint = float(np.mean(np.all(res.correct_form > 0, axis=1)))
