@@ -94,3 +94,32 @@ def test_profiling_timed():
     with timed("probe", results):
         _ = (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
     assert results["probe"] > 0
+
+
+def test_aggregate_impute_nan_cli(tmp_path, capsys, monkeypatch):
+    """--impute_nan must reproduce notebook cell 2: NaN RMSE imputed with the
+    max, then BOTH valid and any statistics per equation + all-equations."""
+    import numpy as np
+
+    from symmetry_ode_discovery_tpu.cli.aggregate import main as agg_main
+
+    d = tmp_path / "run-x"
+    d.mkdir()
+    # seed0: correct both eqs, mse [.01, .04]; seed1: eq1 wrong, mse [.09, nan]
+    np.savez(d / "seed0.npz", correct_form=np.array([1.0, 1.0]),
+             mse=np.array([0.01, 0.04]), correct_form_all=np.array(1.0),
+             mse_all=np.array(0.025))
+    np.savez(d / "seed1.npz", correct_form=np.array([1.0, 0.0]),
+             mse=np.array([0.09, np.nan]), correct_form_all=np.array(0.0),
+             mse_all=np.array(np.nan))
+    agg_main(["run-x", "--impute_nan", "--result_dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "Joint success rate = 1/2" in out
+    # eq0 valid == any == mean(.1, .3) = .2
+    assert "Equation 0 RMSE = 0.2000" in out
+    assert "Equation 0 RMSE (any) = 0.2000" in out
+    # eq1: nan imputed with max observed rmse (0.3); valid = seed0 only (0.2)
+    assert "Equation 1 RMSE = 0.2000" in out
+    assert "Equation 1 RMSE (any) = 0.2500" in out
+    # all-equations: valid = sqrt(.025); any = mean(sqrt(.025), imputed max)
+    assert "All equations RMSE = 0.1581" in out
