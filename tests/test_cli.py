@@ -19,6 +19,12 @@ def tiny_dosc_cache(tmp_path_factory):
     from symmetry_ode_discovery_tpu.ops.integrators import solve_ode_batch
 
     path = str(tmp_path_factory.mktemp("tiny_dosc_cache"))
+    # Run the whole module from a scratch cwd so relative artifact dirs
+    # (eval_results/, saved_models/, runs/) never touch the repo's committed
+    # sweep evidence.
+    workdir = tmp_path_factory.mktemp("cli_workdir")
+    old_cwd = os.getcwd()
+    os.chdir(workdir)
     sys_ = SYSTEMS["dosc"]
     for mode, n in [("train", 20), ("val", 4)]:
         x0 = sys_.sample_ics(jax.random.PRNGKey(0 if mode == "train" else 1), n)
@@ -31,6 +37,7 @@ def tiny_dosc_cache(tmp_path_factory):
     dsmod.DATA_PATH = path
     yield path
     dsmod.DATA_PATH = orig
+    os.chdir(old_cwd)
 
 
 def _args(extra):
