@@ -294,29 +294,60 @@ def run(args: dict) -> dict:
             step_j = jax.jit(jax.vmap(step_f, in_axes=(0, None)))
             ext_j = jax.jit(jax.vmap(extract_f))
             chunk = max(1, min(n_seeds, args.get("seed_chunk", 10)))
-            parts = []
-            for lo in range(0, n_seeds, chunk):
-                sub = seeds[lo:lo + chunk]
-                if len(sub) != chunk:  # keep shapes static for jit reuse
-                    sub = jnp.concatenate([sub, sub[-1:].repeat(chunk - len(sub))])
-                    keep = len(seeds[lo:lo + chunk])
-                else:
-                    keep = chunk
-                xs, dxs, keys = prep_j(sub)
-                carry = init_j(xs, dxs, keys)
-                for e in range(0, hp.num_epochs, epc):
-                    carry = step_j(carry, e)
-                    # identical protocol, shorter wall clock: a done seed's
-                    # updates are frozen inside the epoch body, so once every
-                    # lane is done the remaining epochs are no-ops — skip
-                    # them. The scalar fetch also drains the async queue once
-                    # per host step (the symgp make_gen_step pattern).
-                    if bool(np.asarray(carry["done"]).all()):
-                        break
-                Xi_c, m_c = ext_j(carry)
-                parts.append((Xi_c[:keep], m_c[:keep]))
-            Xi = jnp.concatenate([p[0] for p in parts], axis=0)
-            mask = jnp.concatenate([p[1] for p in parts], axis=0)
+            # Resume support (same pattern as main_gp.py): seeds whose eval
+            # npz already exists are loaded from disk, so a sweep interrupted
+            # by a TPU worker restart re-runs only the missing seeds. Each
+            # finished chunk is persisted immediately.
+            done_xi = {}
+            if truth is not None and not args.get("overwrite_eval"):
+                for s in range(seed, seed + n_seeds):
+                    p = f"eval_results/{args['save_dir']}/seed{s}.npz"
+                    if os.path.exists(p):
+                        with np.load(p) as z:
+                            done_xi[s] = np.asarray(z["coefficients"])
+                if done_xi:
+                    print(f"resume: skipping {len(done_xi)} already-evaluated seeds")
+            todo = [s for s in range(seed, seed + n_seeds) if s not in done_xi]
+            ran = {}
+            for lo in range(0, len(todo), chunk):
+                sub_list = todo[lo:lo + chunk]
+                keep = len(sub_list)
+                # pad the tail chunk so shapes stay static for jit reuse
+                sub = jnp.asarray(sub_list + [sub_list[-1]] * (chunk - keep))
+
+                def run_chunk():
+                    xs, dxs, keys = prep_j(sub)
+                    carry = init_j(xs, dxs, keys)
+                    for e in range(0, hp.num_epochs, epc):
+                        carry = step_j(carry, e)
+                        # identical protocol, shorter wall clock: a done
+                        # seed's updates are frozen inside the epoch body, so
+                        # once every lane is done the remaining epochs are
+                        # no-ops — skip them. The scalar fetch also drains the
+                        # async queue once per host step (the symgp
+                        # make_gen_step pattern).
+                        if bool(np.asarray(carry["done"]).all()):
+                            break
+                    return ext_j(carry)
+
+                try:
+                    Xi_c, m_c = run_chunk()
+                except jax.errors.JaxRuntimeError as e:
+                    print(f"chunk {sub_list[0]}-{sub_list[-1]} device error "
+                          f"({type(e).__name__}); retrying once")
+                    Xi_c, m_c = run_chunk()
+                if truth is not None:
+                    chunk_res = _finalize(Xi_c[:keep], m_c[:keep], truth).results_list()
+                    for i, s in enumerate(sub_list):
+                        save_eval_results(chunk_res[i], args["save_dir"], s)
+                for i, s in enumerate(sub_list):
+                    ran[s] = (np.asarray(Xi_c[i]), np.asarray(m_c[i]))
+            Xi = jnp.asarray(np.stack(
+                [done_xi[s] if s in done_xi else ran[s][0]
+                 for s in range(seed, seed + n_seeds)]))
+            mask = jnp.asarray(np.stack(
+                [(done_xi[s] != 0) if s in done_xi else ran[s][1]
+                 for s in range(seed, seed + n_seeds)]))
         elif args["use_latent"]:
             sweep_fn = jax.jit(jax.vmap(run_one))
             chunk = max(1, min(n_seeds, args.get("seed_chunk", 10)))
