@@ -289,11 +289,22 @@ def run(args: dict) -> dict:
                 idx = jax.random.permutation(kperm, n)[:k_batch]
                 return x_all[idx], dx_all[idx], kfit
 
-            prep_j = jax.jit(jax.vmap(prep_seed))
-            init_j = jax.jit(jax.vmap(init_f))
-            step_j = jax.jit(jax.vmap(step_f, in_axes=(0, None)))
-            ext_j = jax.jit(jax.vmap(extract_f))
             chunk = max(1, min(n_seeds, args.get("seed_chunk", 10)))
+            mesh_n = args.get("mesh_devices", 0) or 0
+            if mesh_n > 1:
+                # seed axis sharded over the mesh: chunk rounded up to a
+                # multiple of the mesh size (tail seeds are pad-duplicated
+                # below, same as the single-device tail chunk)
+                from ..parallel.mesh import make_mesh, shard_stepper
+
+                chunk = mesh_n * max(1, -(-chunk // mesh_n))
+                prep_j, init_j, step_j, ext_j = shard_stepper(
+                    prep_seed, init_f, step_f, extract_f, make_mesh(mesh_n))
+            else:
+                prep_j = jax.jit(jax.vmap(prep_seed))
+                init_j = jax.jit(jax.vmap(init_f))
+                step_j = jax.jit(jax.vmap(step_f, in_axes=(0, None)))
+                ext_j = jax.jit(jax.vmap(extract_f))
             # Resume support (same pattern as main_gp.py): seeds whose eval
             # npz already exists are loaded from disk, so a sweep interrupted
             # by a TPU worker restart re-runs only the missing seeds. Each

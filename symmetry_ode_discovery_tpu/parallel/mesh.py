@@ -40,3 +40,32 @@ def shard_sweep(run_one: Callable, mesh: Mesh, axis: str = "seed") -> Callable:
         local, mesh=mesh, in_specs=P(axis), out_specs=P(axis), check_vma=False
     )
     return jax.jit(sharded)
+
+
+def shard_stepper(prep_f: Callable, init_f: Callable, step_f: Callable,
+                  extract_f: Callable, mesh: Mesh, axis: str = "seed"):
+    """Mesh-sharded driver for the host-stepped L-BFGS sweep (EquivSINDy-r).
+
+    Lifts training/siged.py::make_lbfgs_stepper's per-seed (init, step,
+    extract) plus the per-seed data prep to seed-axis-sharded multi-seed
+    programs: every leaf of the carry keeps its leading seed axis sharded
+    over the mesh, each device vmaps its local shard, and no collectives are
+    needed (the reference's sequential bash seed loop as one SPMD program per
+    host step). The chunk size must be divisible by the mesh size — pad at
+    the call site (cli/main.py does).
+
+    Returns (prep_j, init_j, step_j, extract_j) — drop-in replacements for
+    the single-device `jax.jit(jax.vmap(...))` wrappers.
+    """
+    seeded = dict(mesh=mesh, check_vma=False)
+    prep_j = jax.jit(jax.shard_map(jax.vmap(prep_f),
+                                   in_specs=P(axis), out_specs=P(axis), **seeded))
+    init_j = jax.jit(jax.shard_map(jax.vmap(init_f),
+                                   in_specs=P(axis), out_specs=P(axis), **seeded))
+    # epoch0 is a replicated scalar (same epoch window on every device)
+    step_j = jax.jit(jax.shard_map(jax.vmap(step_f, in_axes=(0, None)),
+                                   in_specs=(P(axis), P()),
+                                   out_specs=P(axis), **seeded))
+    ext_j = jax.jit(jax.shard_map(jax.vmap(extract_f),
+                                  in_specs=P(axis), out_specs=P(axis), **seeded))
+    return prep_j, init_j, step_j, ext_j

@@ -59,6 +59,63 @@ def test_lbfgs_sweep_vmapped():
     assert (res.mse < 1e-4).all()
 
 
+def test_symreg_stepper_sharded_matches_vmap():
+    """The mesh-sharded host-stepped EquivSINDy-r driver (parallel/mesh.py
+    shard_stepper, the cli/main.py --mesh_devices path) must reproduce the
+    single-device vmap path: identical sparsity masks, coefficients equal up
+    to fp noise (per-device vmap width 1 vs 8 reorders XLA reductions, and
+    L-BFGS amplifies the last-ulp differences over epochs)."""
+    from symmetry_ode_discovery_tpu.models.autoencoder import AutoEncoderDef
+    from symmetry_ode_discovery_tpu.models import lie_generator as lg
+    from symmetry_ode_discovery_tpu.parallel.mesh import make_mesh, shard_stepper
+    from symmetry_ode_discovery_tpu.training.siged import make_lbfgs_stepper
+    from symmetry_ode_discovery_tpu.training.symmreg import make_symmreg_i_fast
+
+    assert len(jax.devices()) == 8
+    ae_def = AutoEncoderDef(ae_arch="mlp", input_dim=2, hidden_dim=16,
+                            latent_dim=2, n_layers=2, n_comps=2,
+                            batch_norm=True, ortho_ae=True)
+    params, bstats = ae_def.init(jax.random.PRNGKey(0))
+    spec = lg.parse_repr("(2,1,2)", "0")
+    g_state = lg.init_generator(jax.random.PRNGKey(1), spec)
+    prep, pen = make_symmreg_i_fast(ae_def, params, bstats, spec, g_state,
+                                    0.1, 0.01)
+
+    x, dx = _dosc(n_ics=8, steps=50)
+    xf, dxf = x.reshape(-1, 2), dx.reshape(-1, 2)
+    n = xf.shape[0]
+    cfg, _ = make_config(2, poly_order=2)
+    hp = LBFGSHParams(num_epochs=4, inner_iters=5, lr_sindy=0.5,
+                      sindy_reg_type="none", st_freq=2, threshold=5e-2,
+                      w_sym_reg=0.1)
+    init_f, step_f, extract_f = make_lbfgs_stepper(
+        cfg, None, hp, pen, sym_reg_prep=prep, epochs_per_call=2)
+
+    def prep_seed(s):
+        kk = jax.random.fold_in(jax.random.PRNGKey(0), s)
+        kperm, kfit, _ = jax.random.split(kk, 3)
+        idx = jax.random.permutation(kperm, n)[:64]
+        return xf[idx], dxf[idx], kfit
+
+    seeds = jnp.arange(8)
+
+    def drive(prep_j, init_j, step_j, ext_j):
+        xs, dxs, keys = prep_j(seeds)
+        carry = init_j(xs, dxs, keys)
+        for e in range(0, hp.num_epochs, 2):
+            carry = step_j(carry, e)
+        return ext_j(carry)
+
+    Xi_v, m_v = drive(jax.jit(jax.vmap(prep_seed)), jax.jit(jax.vmap(init_f)),
+                      jax.jit(jax.vmap(step_f, in_axes=(0, None))),
+                      jax.jit(jax.vmap(extract_f)))
+    Xi_s, m_s = drive(*shard_stepper(prep_seed, init_f, step_f, extract_f,
+                                     make_mesh(8)))
+    np.testing.assert_array_equal(np.asarray(m_s), np.asarray(m_v))
+    np.testing.assert_allclose(np.asarray(Xi_s), np.asarray(Xi_v),
+                               rtol=0.1, atol=5e-3)
+
+
 def test_wsindy_sweep():
     x, _ = _dosc(n_ics=8, steps=2000, dt=0.01)
     x = jnp.transpose(x, (1, 0, 2))  # (n_ics, n_steps, dim)
