@@ -408,7 +408,8 @@ def distill_to_data_space(
 def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
                        sym_reg_fn: Optional[Callable] = None,
                        sym_reg_prep: Optional[Callable] = None,
-                       epochs_per_call: int = 1):
+                       epochs_per_call: int = 1,
+                       remat: Optional[bool] = None):
     """Host-steppable variant of train_sindy_lbfgs for heavy (symreg) losses.
 
     A single fused 100-epoch device program can exceed the TPU runtime's
@@ -434,10 +435,16 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
     epochs_per_call: epochs fused into one device program per host step
     (a lax.scan); raise it as far as the watchdog budget allows to amortize
     dispatch latency.
+
+    remat: override the checkpoint-the-closure default (None = checkpoint
+    whenever a symreg loss is active). Pass False with the Pallas-fused
+    penalty (make_symmreg_i_fast pallas=True) — its custom-VJP kernels keep
+    only kernel inputs as residuals, so rematerialization just re-runs them.
     """
     init_params, xi_of = _make_param_fns(cfg, Q)
     opt = _make_opt(hp)
-    remat = sym_reg_fn is not None and hp.w_sym_reg > 0.0
+    has_sym = sym_reg_fn is not None and hp.w_sym_reg > 0.0
+    remat = has_sym if remat is None else (remat and has_sym)
 
     def make_loss(x, dx, srctx):
         theta = cfg.library(x)
@@ -446,7 +453,7 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
             Xi = xi_of(params)
             pred = theta @ (Xi * mask).T
             loss = hp.w_sindy_x * jnp.mean((pred - dx) ** 2)
-            if remat:
+            if has_sym:
                 def forward_fn(xq):
                     return cfg.library(xq) @ (Xi * mask).T
                 if sym_reg_prep is not None:

@@ -165,6 +165,8 @@ def make_symmreg_i_fast(
     z_mean: Optional[jnp.ndarray] = None,
     relative: bool = True,
     ae_dtype=None,
+    pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Fast-path builder for the infinitesimal symmetry loss inside L-BFGS
     equation discovery (the EquivSINDy-r hot loop).
@@ -196,12 +198,34 @@ def make_symmreg_i_fast(
     ae_dtype: optional compute dtype (e.g. jnp.bfloat16) for the frozen
     autoencoder matmuls in this penalty — the MXU fast path. The reduction
     and the rest of the loss stay float32.
+
+    pallas: fuse the per-closure autoencoder work (encoder at fx, decoder
+    JVP at z_fx, and both backward chains) into VMEM-resident Pallas kernels
+    (ops/pallas_symmpen.py) — weights stay on-chip across a row-tile grid
+    and the backward recomputes ReLU masks instead of storing or re-running
+    the activation graph. Requires ae_arch='mlp' + ReLU (the shipped
+    protocol); compute dtype is bf16 unless ae_dtype overrides it.
+    IMPORTANT for the L-BFGS driver: with pallas=True the closure's
+    residuals are tiny (kernel inputs only), so jax.checkpoint is
+    unnecessary — pass remat=False to make_lbfgs_stepper.
+    pallas_interpret: run the kernels in interpreter mode (CPU tests).
     """
     from ..ops.integrators import odeint
 
     zm = _resolve_z_mean(ae_def, ae_params, "global", z_mean)
     basis = lg.get_full_basis_list(spec, g_state)
     latent = ae_def.latent_dim
+
+    if pallas:
+        from ..ops.pallas_symmpen import (fold_decoder, fold_encoder,
+                                          make_dec_jvp, make_enc_apply)
+        kdtype = ae_dtype if ae_dtype is not None else jnp.bfloat16
+        enc_folded = fold_encoder(ae_def, ae_params, batch_stats, z_mean=zm)
+        dec_folded = fold_decoder(ae_def, ae_params)
+        enc_k = make_enc_apply(enc_folded, dtype=kdtype,
+                               interpret=pallas_interpret)
+        dec_jvp_k = make_dec_jvp(dec_folded, dtype=kdtype,
+                                 interpret=pallas_interpret)
 
     if ae_dtype is not None:
         # cast the big Dense weights; keep the OrthoDense 'V' factor f32 (QR
@@ -234,7 +258,7 @@ def make_symmreg_i_fast(
             return odeint(forward_fn, q, int_t, int_dt)
 
         fx = forward_step(x)
-        z_fx = enc1(fx)
+        z_fx = enc_k(fx) if pallas else enc1(fx)
         z_x, Jd_x = ctx["z_x"], ctx["Jd_x"]
         z_flat = jnp.concatenate([z_x, z_fx], axis=-1)  # (b, 2*latent)
 
@@ -243,7 +267,8 @@ def make_symmreg_i_fast(
             v_z = jnp.einsum("jk,bk->bj", v, z_flat)
             v_z_x, v_z_fx = v_z[:, :latent], v_z[:, latent:]
             v_x = jnp.einsum("bij,bj->bi", Jd_x, v_z_x)
-            v_fx = jax.jvp(dec1, (z_fx,), (v_z_fx,))[1]
+            v_fx = (dec_jvp_k(z_fx, v_z_fx) if pallas
+                    else jax.jvp(dec1, (z_fx,), (v_z_fx,))[1])
             input_variation = jax.jvp(forward_step, (x,), (v_x,))[1]
             sq = jnp.mean((input_variation - v_fx) ** 2)
             if relative:

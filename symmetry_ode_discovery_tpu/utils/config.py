@@ -133,6 +133,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "symreg penalty (bf16 = MXU fast path)")
     parser.add_argument("--epochs_per_call", type=int, default=10,
                         help="epochs fused per device call in host-stepped sweeps")
+    parser.add_argument("--symmpen_pallas", action="store_true",
+                        help="fuse the frozen-AE work of the symreg-i penalty into "
+                             "VMEM-resident Pallas kernels (ops/pallas_symmpen.py); "
+                             "requires ae_arch=mlp + ReLU")
     return parser
 
 

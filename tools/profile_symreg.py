@@ -12,10 +12,13 @@ Writes nothing under eval_results/.
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -28,6 +31,9 @@ def main():
     ap.add_argument("--ae_dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--save_policy", action="store_true",
                     help="checkpoint policy: save dot outputs instead of full remat")
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused VMEM-resident frozen-AE kernels "
+                         "(ops/pallas_symmpen.py) + remat off")
     ap.add_argument("--trace", default="", help="jax.profiler trace dir (2nd step)")
     opts = ap.parse_args()
 
@@ -66,9 +72,11 @@ def main():
                       w_sym_reg=args["w_sym_reg"], st_freq=args["st_freq"],
                       threshold=args["threshold"], linesearch=False)
     ae_dtype = jnp.bfloat16 if opts.ae_dtype == "bf16" else None
+    if opts.pallas and ae_dtype is None:
+        ae_dtype = jnp.float32  # select true f32 kernels (None would mean bf16)
     prep, pen = make_symmreg_i_fast(ae_def, ae_params, ae_bstats, spec, g_state,
                                     args["int_t"], args["int_dt"],
-                                    ae_dtype=ae_dtype)
+                                    ae_dtype=ae_dtype, pallas=opts.pallas)
 
     if opts.save_policy:
         # monkey-patch the remat wrapper with a dots-saveable policy: saves
@@ -79,7 +87,8 @@ def main():
 
     init_f, step_f, extract_f = make_lbfgs_stepper(
         cfg, None, hp, pen, sym_reg_prep=prep,
-        epochs_per_call=opts.epochs_per_call)
+        epochs_per_call=opts.epochs_per_call,
+        remat=False if opts.pallas else None)
 
     x_all, dx_all = jnp.asarray(train_ds.x), jnp.asarray(train_ds.dx)
     n = x_all.shape[0]
