@@ -106,7 +106,13 @@ def run(args: dict) -> dict:
             st_freq=args["st_freq"], threshold=args["threshold"],
         )
         steps_per_epoch = max(1, x_train.shape[0] // args["batch_size"])
-        trainer = LassiTrainer(ae_def, spec, disc, hp, steps_per_epoch=steps_per_epoch)
+        dp_mesh = None
+        if args.get("dp_devices", 0) and args["dp_devices"] > 1:
+            from ..parallel.mesh import make_mesh
+
+            dp_mesh = make_mesh(args["dp_devices"], axis="batch")
+        trainer = LassiTrainer(ae_def, spec, disc, hp,
+                               steps_per_epoch=steps_per_epoch, dp_mesh=dp_mesh)
         from ..utils.metrics import MetricsLogger
 
         logger = MetricsLogger(args["wandb_name"], config=args)

@@ -79,15 +79,28 @@ class LassiHParams:
 
 
 class LassiTrainer:
-    """Builds the jitted epoch step; holds static model definitions."""
+    """Builds the jitted epoch step; holds static model definitions.
+
+    dp_mesh: optional `jax.sharding.Mesh` with a "batch" axis — data-parallel
+    training over ICI (SURVEY.md §5: the RD latent experiment's scaling
+    axis). The epoch program is UNCHANGED; each minibatch is annotated with
+    `with_sharding_constraint(P("batch"))` and XLA's SPMD partitioner
+    shards all per-example compute and inserts the collectives (global
+    BatchNorm statistics, global loss means, all-reduced gradients) — the
+    reference has no distributed layer at all, and this is the pjit recipe
+    rather than a hand-written NCCL translation. Semantics are identical to
+    single-device up to floating-point reduction order.
+    """
 
     def __init__(self, ae_def: AutoEncoderDef, spec: GeneratorSpec,
                  disc: Discriminator, hp: LassiHParams,
-                 steps_per_epoch: Optional[int] = None):
+                 steps_per_epoch: Optional[int] = None,
+                 dp_mesh=None):
         self.ae_def = ae_def
         self.spec = spec
         self.disc = disc
         self.hp = hp
+        self.dp_mesh = dp_mesh
         self.sindy_adam = hp.include_sindy and hp.w_sindy_x > 0.0
         self.sindy_lstsq = hp.include_sindy and hp.w_sindy_x == 0.0
         if hp.include_sindy:
@@ -336,9 +349,16 @@ class LassiTrainer:
             bundle, bstats, opt_state, sc, key = carry
             i, idx = scan_in
             key, sub = jax.random.split(key)
+            x_b, dx_b = x_data[idx], dx_data[idx]
+            if self.dp_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = NamedSharding(self.dp_mesh, P("batch"))
+                x_b = jax.lax.with_sharding_constraint(x_b, shard)
+                dx_b = jax.lax.with_sharding_constraint(dx_b, shard)
             grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
             (loss, (new_bs, new_sc, metrics)), grads = grad_fn(
-                bundle, bstats, x_data[idx], dx_data[idx], sc, sub,
+                bundle, bstats, x_b, dx_b, sc, sub,
                 is_last=(i == n_batches - 1))
             updates, opt_state = self.tx.update(grads, opt_state, bundle)
             bundle = optax.apply_updates(bundle, updates)

@@ -126,6 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="max seeds vmapped at once for memory-heavy (symreg/latent) sweeps")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="shard the seed sweep over this many devices (0 = all)")
+    parser.add_argument("--dp_devices", type=int, default=0,
+                        help="data-parallel LaLiGAN training: shard each batch over "
+                             "this many devices (pjit batch sharding; 0/1 = off)")
     parser.add_argument("--symreg_slow", action="store_true",
                         help="disable the precomputed fast path for sym_reg_type=i")
     parser.add_argument("--ae_dtype", type=str, default="f32", choices=["f32", "bf16"],

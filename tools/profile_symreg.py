@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--pallas", action="store_true",
                     help="fused VMEM-resident frozen-AE kernels "
                          "(ops/pallas_symmpen.py) + remat off")
+    ap.add_argument("--w_sym_reg", type=float, default=None,
+                    help="ablation: override the penalty weight (0 disables "
+                         "the whole symreg graph -> base L-BFGS cost)")
+    ap.add_argument("--int_t", type=float, default=None,
+                    help="ablation: override the rollout horizon "
+                         "(int_t/int_dt = number of Euler steps)")
+    ap.add_argument("--no_remat", action="store_true",
+                    help="ablation: disable jax.checkpoint on the closure")
     ap.add_argument("--trace", default="", help="jax.profiler trace dir (2nd step)")
     opts = ap.parse_args()
 
@@ -52,6 +60,10 @@ def main():
     from symmetry_ode_discovery_tpu.utils.config import get_args
 
     args = vars(get_args(["--config", opts.config, "--ae_dtype", opts.ae_dtype]))
+    if opts.w_sym_reg is not None:
+        args["w_sym_reg"] = opts.w_sym_reg
+    if opts.int_t is not None:
+        args["int_t"] = opts.int_t
     train_ds, _, args = get_dataset(args)
     ae_def, spec, _ = build_models(args)
 
@@ -86,9 +98,10 @@ def main():
         siged.jax.checkpoint = lambda f: orig(f, policy=policy)
 
     init_f, step_f, extract_f = make_lbfgs_stepper(
-        cfg, None, hp, pen, sym_reg_prep=prep,
+        cfg, None, hp, pen if hp.w_sym_reg > 0 else None,
+        sym_reg_prep=prep if hp.w_sym_reg > 0 else None,
         epochs_per_call=opts.epochs_per_call,
-        remat=False if opts.pallas else None)
+        remat=False if (opts.pallas or opts.no_remat) else None)
 
     x_all, dx_all = jnp.asarray(train_ds.x), jnp.asarray(train_ds.dx)
     n = x_all.shape[0]
