@@ -167,6 +167,7 @@ def run(args: dict) -> dict:
     )
     sym_reg_fn = None
     sym_reg_prep = None
+    use_pallas = False  # --symmpen_pallas, effective only on the fast-i path
     if args["w_sym_reg"] > 0.0 and not args["use_latent"]:
         if args["sym_reg_type"] == "i" and not args.get("symreg_slow"):
             # fast path: per-seed precomputation of the frozen-AE constants
@@ -174,15 +175,15 @@ def run(args: dict) -> dict:
             from ..training.symmreg import make_symmreg_i_fast
 
             ae_dtype = {"bf16": jnp.bfloat16, "f32": None}[args.get("ae_dtype", "f32")]
-            if args.get("symmpen_pallas") and ae_dtype is None:
-                # make --ae_dtype f32 mean true f32 kernels (the kernel
-                # builder reads None as "default to bf16")
-                ae_dtype = jnp.float32
+            use_pallas = bool(args.get("symmpen_pallas"))
             sym_reg_prep, sym_reg_fn = make_symmreg_i_fast(
                 ae_def, ae_params, ae_bstats, spec, g_state,
                 args["int_t"], args["int_dt"], ae_dtype=ae_dtype,
-                pallas=bool(args.get("symmpen_pallas")))
+                pallas=use_pallas)
         else:
+            if args.get("symmpen_pallas"):
+                print("warning: --symmpen_pallas only applies to the "
+                      "sym_reg_type=i fast path; ignored here")
             sym_reg_fn = make_sym_reg_fn(ae_def, ae_params, ae_bstats, spec, g_state,
                                          args["sym_reg_type"], args["int_t"], args["int_dt"])
 
@@ -295,7 +296,7 @@ def run(args: dict) -> dict:
                 epochs_per_call=epc,
                 # the Pallas-fused penalty keeps its own tiny residuals;
                 # checkpointing would just re-run the kernels
-                remat=False if args.get("symmpen_pallas") else None)
+                remat=False if use_pallas else None)
 
             def prep_seed(s):
                 kk = jax.random.fold_in(jax.random.PRNGKey(0), s)
@@ -402,7 +403,8 @@ def run(args: dict) -> dict:
         epc = max(1, min(args.get("epochs_per_call", 10), hp.num_epochs))
         init_f, step_f, extract_f = make_lbfgs_stepper(
             cfg, Qj, hp, sym_reg_fn, sym_reg_prep=sym_reg_prep,
-            epochs_per_call=epc)
+            epochs_per_call=epc,
+            remat=False if use_pallas else None)
         kk = jax.random.fold_in(jax.random.PRNGKey(0), seed)
         kperm, kfit, _ = jax.random.split(kk, 3)
         idx = jax.random.permutation(kperm, n)[:k_batch]

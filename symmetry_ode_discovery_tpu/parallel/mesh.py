@@ -17,9 +17,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "seed") -> Mesh:
-    """1-D mesh over the first n (default: all) local devices."""
+    """1-D mesh over the first n (default: all) local devices.
+
+    Raises when fewer than n_devices exist — silently degrading to a
+    smaller (possibly 1-device) mesh would leave the caller believing the
+    sharded path is active."""
     devices = jax.devices()
     if n_devices:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} jax devices exist")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 

@@ -204,7 +204,8 @@ def make_symmreg_i_fast(
     (ops/pallas_symmpen.py) — weights stay on-chip across a row-tile grid
     and the backward recomputes ReLU masks instead of storing or re-running
     the activation graph. Requires ae_arch='mlp' + ReLU (the shipped
-    protocol); compute dtype is bf16 unless ae_dtype overrides it.
+    protocol); kernel compute dtype follows ae_dtype (None = f32, same as
+    the autodiff path).
     IMPORTANT for the L-BFGS driver: with pallas=True the closure's
     residuals are tiny (kernel inputs only), so jax.checkpoint is
     unnecessary — pass remat=False to make_lbfgs_stepper.
@@ -219,7 +220,9 @@ def make_symmreg_i_fast(
     if pallas:
         from ..ops.pallas_symmpen import (fold_decoder, fold_encoder,
                                           make_dec_jvp, make_enc_apply)
-        kdtype = ae_dtype if ae_dtype is not None else jnp.bfloat16
+        # ae_dtype=None means f32 on the autodiff path; the kernels follow
+        # the same convention so callers get consistent precision end-to-end
+        kdtype = ae_dtype if ae_dtype is not None else jnp.float32
         enc_folded = fold_encoder(ae_def, ae_params, batch_stats, z_mean=zm)
         dec_folded = fold_decoder(ae_def, ae_params)
         enc_k = make_enc_apply(enc_folded, dtype=kdtype,

@@ -84,8 +84,6 @@ def main():
                       w_sym_reg=args["w_sym_reg"], st_freq=args["st_freq"],
                       threshold=args["threshold"], linesearch=False)
     ae_dtype = jnp.bfloat16 if opts.ae_dtype == "bf16" else None
-    if opts.pallas and ae_dtype is None:
-        ae_dtype = jnp.float32  # select true f32 kernels (None would mean bf16)
     prep, pen = make_symmreg_i_fast(ae_def, ae_params, ae_bstats, spec, g_state,
                                     args["int_t"], args["int_dt"],
                                     ae_dtype=ae_dtype, pallas=opts.pallas)
