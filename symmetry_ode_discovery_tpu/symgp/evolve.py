@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .tape import (
-    ARITY, CONST, PAD, VAR, TapeSpec, eval_tapes, random_population, random_tape,
+    ARITY, CONST, PAD, VAR, TapeSpec, eval_tapes, random_population, random_tape, spec_op_table,
     tape_length,
 )
 
@@ -248,7 +248,8 @@ def make_fitness_fn(spec: TapeSpec, X: jnp.ndarray, y: jnp.ndarray):
 
     @jax.jit
     def fitness(ops, args, consts):
-        pred = eval_tapes(ops, args, consts, X, spec.stack_depth)
+        pred = eval_tapes(ops, args, consts, X, spec.stack_depth,
+                          op_table=spec_op_table(spec))
         mse = jnp.mean((pred - y[None, :]) ** 2, axis=1)
         return jnp.where(jnp.isfinite(mse), mse, jnp.inf)
 

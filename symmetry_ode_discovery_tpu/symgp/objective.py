@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .tape import TapeSpec, eval_tapes, tape_length
+from .tape import TapeSpec, eval_tapes, spec_op_table, tape_length
 
 
 def make_symmreg_fitness(
@@ -56,7 +56,8 @@ def make_symmreg_fitness(
 
     def device_loss(ops, args, consts):
         # ops: (2P, L) interleaved components
-        preds = eval_tapes(ops, args, consts, all_pts, spec.stack_depth)
+        preds = eval_tapes(ops, args, consts, all_pts, spec.stack_depth,
+                           op_table=spec_op_table(spec))
         P2 = preds.shape[0]
         preds = preds.reshape(P2 // 2, 2, -1)  # (P, 2, (1+n_g) N)
         h_x = preds[:, :, :N]  # (P, 2, N)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .evolve import GPConfig, breed
-from .tape import TapeSpec, eval_tapes, tape_length
+from .tape import TapeSpec, eval_tapes, spec_op_table, tape_length
 
 
 def _system_unit_loss(spec: TapeSpec, w_sym_reg: float, n_g: int,
@@ -49,7 +49,8 @@ def _system_unit_loss(spec: TapeSpec, w_sym_reg: float, n_g: int,
             all_pts = jnp.concatenate([X[None], gx], axis=0).reshape(-1, d)
         else:
             all_pts = X
-        preds = eval_tapes(ops, args, consts, all_pts, spec.stack_depth)
+        preds = eval_tapes(ops, args, consts, all_pts, spec.stack_depth,
+                           op_table=spec_op_table(spec))
         P2 = preds.shape[0]
         preds = preds.reshape(P2 // 2, 2, -1)
         h_x = preds[:, :, :N]
@@ -70,7 +71,8 @@ def _plain_unit_loss(spec: TapeSpec):
     """(ops (P,L), args, consts, X (N,d), y (N,)) -> (P,)."""
 
     def loss(ops, args, consts, X, y):
-        pred = eval_tapes(ops, args, consts, X, spec.stack_depth)
+        pred = eval_tapes(ops, args, consts, X, spec.stack_depth,
+                          op_table=spec_op_table(spec))
         mse = jnp.mean((pred - y[None, :]) ** 2, axis=1)
         return jnp.where(jnp.isfinite(mse), mse, jnp.inf)
 

@@ -48,7 +48,8 @@ class TapeSpec:
 
 
 def eval_tapes(ops: jnp.ndarray, args: jnp.ndarray, consts: jnp.ndarray,
-               X: jnp.ndarray, stack_depth: int = 16) -> jnp.ndarray:
+               X: jnp.ndarray, stack_depth: int = 16,
+               op_table: Tuple[int, ...] | None = None) -> jnp.ndarray:
     """Evaluate a population of tapes on data.
 
     ops/args: (P, L) int32; consts: (P, L) float32; X: (N, n_vars).
@@ -60,9 +61,27 @@ def eval_tapes(ops: jnp.ndarray, args: jnp.ndarray, consts: jnp.ndarray,
     stack_depth is therefore a search-space bound (PySR's maxdepth analog),
     not just a buffer size. Breeding keeps tapes postfix-valid (`tape_valid`
     invariants); underflow reads cannot occur for valid tapes.
+
+    op_table: static tuple of the opcodes the search space can emit
+    (PAD/CONST/VAR are always included). Restricting it to the TapeSpec's
+    ops skips the unused result computations — pass
+    `spec_op_table(spec)` from fitness code.
+
+    TPU note: all stack reads/writes and the opcode dispatch are ONE-HOT
+    masked selects, not dynamic gathers/scatters. The tape position indices
+    are data-dependent per tape, and the transpose of a batched dynamic
+    scatter is a serial per-tape loop on XLA:TPU — profiling the constant-
+    optimization backward showed 5.4 s/generation spent in 500k
+    one-slice dynamic-update-slices. Dense one-hot selects keep both the
+    forward and the autodiff backward fully vectorized over the population.
     """
     N = X.shape[0]
     XT = X.T  # (n_vars, N)
+    if op_table is None:
+        op_table = tuple(range(3, 11))  # every non-leaf opcode
+    table = (PAD, CONST, VAR) + tuple(o for o in op_table
+                                      if o not in (PAD, CONST, VAR))
+    pos = jnp.arange(stack_depth)
 
     def eval_one(op_row, arg_row, const_row):
         stack0 = jnp.zeros((stack_depth, N), dtype=X.dtype)
@@ -71,36 +90,53 @@ def eval_tapes(ops: jnp.ndarray, args: jnp.ndarray, consts: jnp.ndarray,
             stack, sp, bad = carry
             op, arg, cval = slot
             arity = jnp.asarray(ARITY)[op]
-            # operands (reads below sp; safe-clamped indices)
+            # operand reads below sp: one-hot row-mask contractions
             i1 = jnp.clip(sp - 1, 0, stack_depth - 1)
             i2 = jnp.clip(sp - 2, 0, stack_depth - 1)
-            a = stack[i1]  # top
-            b = stack[i2]  # second
+            # where-mask + sum (NOT a mask multiply): 0 * inf would turn a
+            # non-finite value parked in an unselected slot into NaN in the
+            # selected read — where zeroes unselected rows exactly
+            a = jnp.where((pos == i1)[:, None], stack, 0.0).sum(0)
+            b = jnp.where((pos == i2)[:, None], stack, 0.0).sum(0)
             var_val = XT[jnp.clip(arg, 0, XT.shape[0] - 1)]
 
             def safe_div(num, den):
                 ok = jnp.abs(den) > 1e-9
                 return jnp.where(ok, num / jnp.where(ok, den, 1.0), 1.0)
 
-            results = jnp.stack([
-                jnp.zeros((N,), X.dtype),          # PAD (unused)
-                jnp.full((N,), cval, X.dtype),      # CONST
-                var_val,                            # VAR
-                b + a,                              # ADD
-                b - a,                              # SUB
-                b * a,                              # MUL
-                safe_div(b, a),                     # DIV
-                jnp.exp(jnp.clip(a, -40.0, 40.0)),  # EXP
-                jnp.sin(a),                         # SIN
-                jnp.cos(a),                         # COS
-                -a,                                 # NEG
-            ])
-            res = results[op]
+            def op_result(code):
+                if code == PAD:
+                    return jnp.zeros((N,), X.dtype)
+                if code == CONST:
+                    return jnp.full((N,), cval, X.dtype)
+                if code == VAR:
+                    return var_val
+                if code == ADD:
+                    return b + a
+                if code == SUB:
+                    return b - a
+                if code == MUL:
+                    return b * a
+                if code == DIV:
+                    return safe_div(b, a)
+                if code == EXP:
+                    return jnp.exp(jnp.clip(a, -40.0, 40.0))
+                if code == SIN:
+                    return jnp.sin(a)
+                if code == COS:
+                    return jnp.cos(a)
+                return -a  # NEG
+
+            # opcode dispatch as a select chain (dense fwd AND bwd)
+            res = op_result(table[0])
+            for code in table[1:]:
+                res = jnp.where(op == code, op_result(code), res)
             # stack pointer update: push for leaves (+1), pop-pop-push for
             # binary (-1), pop-push for unary (0); PAD no-op
             delta = jnp.where(op == PAD, 0, 1 - arity)
             write_idx = jnp.clip(sp - arity, 0, stack_depth - 1)
-            new_stack = jnp.where(op == PAD, stack, stack.at[write_idx].set(res))
+            wmask = jnp.logical_and(pos == write_idx, op != PAD)[:, None]
+            new_stack = jnp.where(wmask, res[None, :], stack)
             new_sp = jnp.clip(sp + delta, 0, stack_depth)
             # a leaf push with the stack already full clobbers the top slot
             bad = jnp.logical_or(
@@ -112,10 +148,16 @@ def eval_tapes(ops: jnp.ndarray, args: jnp.ndarray, consts: jnp.ndarray,
         (stack, sp, bad), _ = jax.lax.scan(
             step, (stack0, jnp.asarray(0), jnp.asarray(False)),
             (op_row, arg_row, const_row))
-        out = stack[jnp.clip(sp - 1, 0, stack_depth - 1)]
+        i_out = jnp.clip(sp - 1, 0, stack_depth - 1)
+        out = jnp.where((pos == i_out)[:, None], stack, 0.0).sum(0)
         return jnp.where(bad, jnp.nan, out)
 
     return jax.vmap(eval_one)(ops, args, consts)
+
+
+def spec_op_table(spec: "TapeSpec") -> Tuple[int, ...]:
+    """The opcodes a TapeSpec's search space can emit (for eval_tapes)."""
+    return tuple(spec.binary_ops) + tuple(spec.unary_ops)
 
 
 def eval_population(population, X, spec: TapeSpec):

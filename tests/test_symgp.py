@@ -99,7 +99,9 @@ def test_symmreg_fitness_penalizes_asymmetric():
                  np.float32)
     gx = X @ R.T
     Jg = np.tile(R, (N, 1, 1))
-    spec = TapeSpec(n_vars=2, max_len=12)
+    # the tape below uses NEG, so the spec must declare it: the evaluator
+    # only dispatches opcodes inside the spec's search space (spec_op_table)
+    spec = TapeSpec(n_vars=2, max_len=12, unary_ops=(10,))
     full, _ = make_symmreg_fitness(spec, jnp.asarray(X), jnp.asarray(dX),
                                    [jnp.asarray(gx)], [jnp.asarray(Jg)],
                                    w_sym_reg=1.0, parsimony=0.0)
