@@ -123,3 +123,30 @@ def test_aggregate_impute_nan_cli(tmp_path, capsys, monkeypatch):
     assert "Equation 1 RMSE (any) = 0.2500" in out
     # all-equations: valid = sqrt(.025); any = mean(sqrt(.025), imputed max)
     assert "All equations RMSE = 0.1581" in out
+
+
+def test_summarize_xplane_roundtrip(tmp_path):
+    """The no-TensorBoard XPlane parser reads back a jax.profiler trace
+    (CPU backend: host plane 'python' line; on TPU the same call with the
+    default plane/line gives the device op table)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from symmetry_ode_discovery_tpu.utils.profiling import (
+        summarize_xplane, trace)
+
+    with pytest.raises(FileNotFoundError):
+        summarize_xplane(str(tmp_path / "empty"))
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((128, 128))
+    f(x).block_until_ready()
+    d = str(tmp_path / "tr")
+    with trace(d):
+        f(x).block_until_ready()
+    rows = summarize_xplane(d, plane="/host:CPU", line="python",
+                            print_table=False)
+    assert rows, "expected host python events in the trace"
+    name, sec, count = rows[0]
+    assert isinstance(name, str) and sec >= 0 and count >= 1
