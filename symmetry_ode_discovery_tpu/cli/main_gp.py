@@ -158,16 +158,25 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
         cfg = GPConfig(pop_size=args.get("pysr_bs", 1000), n_generations=40,
                        seed=seed0)
 
+        mesh = None
+        if args.get("mesh_devices", 0) and args["mesh_devices"] > 1:
+            # unit axis (seeds, or seed x dim pairs) sharded over the mesh —
+            # same embarrassingly-parallel recipe as the L-BFGS sweeps
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(args["mesh_devices"], axis="seed")
+
         def run_chunk():
             if args["pysr_symmreg"]:
                 per_seed, _ = gp_sweep_system(
                     X, dX, spec, cfg, sub_seeds,
                     gx_all=np.stack(gxs), Jgx_all=np.stack(Jgs),
                     w_sym_reg=args["w_sym_reg"],
-                    verbose=args.get("print_eq", False))
+                    verbose=args.get("print_eq", False), mesh=mesh)
                 return per_seed, "equation_seed{}.txt"
             per_seed, _ = gp_sweep_plain(X, dX, spec, cfg, sub_seeds,
-                                         verbose=args.get("print_eq", False))
+                                         verbose=args.get("print_eq", False),
+                                         mesh=mesh)
             return per_seed, "equations_seed{}.txt"
 
         # One retry per chunk: the axon tunnel occasionally restarts the TPU

@@ -80,7 +80,7 @@ def _plain_unit_loss(spec: TapeSpec):
 
 
 def make_sweep_gen_step(unit_loss, steps: int, lr: float, topk: int,
-                        group: int = 1, n_data: int = 0):
+                        group: int = 1, n_data: int = 0, mesh=None):
     """Fused per-generation device program, vmapped over units.
 
     unit_loss(ops, args, consts, *data) -> (P,) group losses.
@@ -95,6 +95,11 @@ def make_sweep_gen_step(unit_loss, steps: int, lr: float, topk: int,
     N=2500 / topk=256 over 20 vmapped units exceeds v5e HBM (measured 19.2G);
     gradients on ~512 rows keep the tuned constants statistically identical
     (full-batch fitness still gates acceptance) at ~1/5 the memory and FLOPs.
+
+    mesh: optional 1-D jax Mesh with a "seed" axis — the unit axis is
+    sharded over it (shard_map, embarrassingly parallel like every other
+    sweep in this framework; the unit count must be divisible by the mesh
+    size — _run_sweep pads).
     """
     import optax
 
@@ -131,7 +136,13 @@ def make_sweep_gen_step(unit_loss, steps: int, lr: float, topk: int,
         fitness = fit0.at[idx].set(jnp.minimum(fit_new, fit_old))
         return consts, fitness
 
-    return jax.jit(jax.vmap(unit_gen))
+    batched = jax.vmap(unit_gen)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        batched = jax.shard_map(batched, mesh=mesh, in_specs=P("seed"),
+                                out_specs=P("seed"), check_vma=False)
+    return jax.jit(batched)
 
 
 @dataclasses.dataclass
@@ -143,7 +154,8 @@ class SweepResult:
 
 def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
                rngs, group: int, topk: int, verbose: bool = False,
-               gen_cb=None, data_small=None, select: str = "penalized"):
+               gen_cb=None, data_small=None, select: str = "penalized",
+               mesh=None):
     """Shared evolution driver over a batch of units.
 
     populations: (ops (U,G*P,L), args, consts) numpy arrays.
@@ -162,21 +174,36 @@ def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
     P = ops.shape[1] // group
     if data_small is None:
         data_small = data_arrays
+    pad = 0
+    if mesh is not None:
+        # shard_map needs the unit axis divisible by the mesh: duplicate the
+        # last unit (the duplicates' outputs are sliced off below; their
+        # populations never feed breeding)
+        m = mesh.devices.size
+        pad = (-U) % m
+        if pad:
+            def pad_u(a):
+                reps = jnp.concatenate if isinstance(a, jnp.ndarray) else np.concatenate
+                return reps([a] + [a[-1:]] * pad, axis=0)
+            ops, args, consts = pad_u(ops), pad_u(args), pad_u(consts)
+            data_arrays = tuple(pad_u(a) for a in data_arrays)
+            data_small = tuple(pad_u(a) for a in data_small)
     gen_step = make_sweep_gen_step(unit_loss, cfg.const_opt_steps,
                                    cfg.const_opt_lr, topk, group,
-                                   n_data=len(data_arrays))
+                                   n_data=len(data_arrays), mesh=mesh)
     data_arrays = tuple(data_arrays) + tuple(data_small)
     best = [None] * U
     best_fit = np.full(U, np.inf)
     history = np.zeros((U, cfg.n_generations), np.float32)
 
+    Up = U + pad
     for gen in range(cfg.n_generations):
         c_final, base = jax.device_get(gen_step(
             jnp.asarray(ops), jnp.asarray(args), jnp.asarray(consts),
             *data_arrays))
         consts = c_final
-        lens = tape_length(ops.reshape(U * group * P, -1)).reshape(U, P, group).sum(-1)
-        fit = base + cfg.parsimony * lens  # (U, P)
+        lens = tape_length(ops.reshape(Up * group * P, -1)).reshape(Up, P, group).sum(-1)
+        fit = base + cfg.parsimony * lens  # (Up, P); rows >= U are padding
         score = np.asarray(base) if select == "raw" else fit
         for u in range(U):
             i = int(np.argmin(score[u]))
@@ -191,7 +218,8 @@ def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
                   f"min {best_fit.min():.5f}")
         if gen_cb is not None:
             gen_cb(gen, best, best_fit)
-        # host breeding per unit (C++ core)
+        # host breeding per REAL unit (C++ core); padding rows just mirror
+        # the last real unit so the next device call stays well-formed
         new_ops = np.empty_like(ops)
         new_args = np.empty_like(args)
         new_consts = np.empty_like(consts)
@@ -204,6 +232,10 @@ def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
 
                 o, a, c = paired_breed(pop_u, fit[u], rngs[u], spec, cfg)
             new_ops[u], new_args[u], new_consts[u] = o, a, c
+        for u in range(U, Up):
+            new_ops[u], new_args[u], new_consts[u] = (new_ops[U - 1],
+                                                      new_args[U - 1],
+                                                      new_consts[U - 1])
         ops, args, consts = new_ops, new_args, new_consts
 
     return SweepResult(best=best, best_fit=best_fit, history=history)
@@ -218,6 +250,7 @@ def gp_sweep_plain(
     topk: Optional[int] = None,
     verbose: bool = False,
     const_subsample: int = 512,
+    mesh=None,
 ):
     """Per-dimension independent GP for S seeds: units are (seed, dim).
 
@@ -244,7 +277,7 @@ def gp_sweep_plain(
     res = _run_sweep((ops, args, consts), (X_u, y_u),
                      _plain_unit_loss(spec), spec, cfg, rngs, group=1,
                      topk=topk, verbose=verbose,
-                     data_small=(X_u[:, :k], y_u[:, :k]))
+                     data_small=(X_u[:, :k], y_u[:, :k]), mesh=mesh)
     # each res.best[u] is (ops (1,L), args, consts) — squeeze the group axis
     per_seed = [[tuple(arr[0] for arr in res.best[s * d + dim])
                  for dim in range(d)] for s in range(S)]
@@ -263,6 +296,7 @@ def gp_sweep_system(
     topk: Optional[int] = None,
     verbose: bool = False,
     const_subsample: int = 512,
+    mesh=None,
 ):
     """Two-component system GP (optionally symmetry-regularized) for S seeds.
 
@@ -291,7 +325,7 @@ def gp_sweep_system(
     res = _run_sweep((ops, args, consts), data,
                      _system_unit_loss(spec, w_sym_reg, n_g), spec, cfg,
                      rngs, group=2, topk=topk, verbose=verbose,
-                     data_small=data_small, select="raw")
+                     data_small=data_small, select="raw", mesh=mesh)
     per_seed = [tuple((res.best[s][0][c], res.best[s][1][c], res.best[s][2][c])
                       for c in range(2)) for s in range(S)]
     return per_seed, res

@@ -190,6 +190,9 @@ def tape_valid(ops: np.ndarray) -> np.ndarray:
 
 def random_tape(rng: np.random.Generator, spec: TapeSpec, target_len: int):
     """Grow a random postfix program of approximately target_len slots."""
+    # a target beyond the tape capacity would overflow max_len and break the
+    # fixed-shape population stack (callers draw target ~ U[1, 2*mean_len))
+    target_len = min(target_len, spec.max_len)
     ops, args, consts = [], [], []
     depth = 0
     while len(ops) < target_len:

@@ -61,3 +61,28 @@ def test_gp_sweep_system_with_symreg_runs():
     assert np.isfinite(res.best_fit).all()
     assert res.best_fit.max() < 0.5, [
         [tape_to_string(*c) for c in p] for p in per_seed]
+
+
+def test_gp_sweep_mesh_matches_vmap():
+    """The mesh-sharded GP sweep (unit axis over an 8-device mesh, with a
+    non-divisible unit count exercising the padding path) must reproduce the
+    single-device vmap sweep: identical breeding RNG streams consume
+    identical fitness, so discovered tapes are identical."""
+    from symmetry_ode_discovery_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(0)
+    S, N = 3, 64  # 6 units -> pads to 8
+    X = rng.standard_normal((S, N, 2)).astype(np.float32)
+    dX = np.stack([2.0 * X[..., 0], X[..., 1] - X[..., 0]], axis=-1)
+    spec = TapeSpec(n_vars=2, max_len=16, binary_ops=(ADD, SUB, MUL))
+    cfg = GPConfig(pop_size=128, n_generations=8, const_opt_steps=4, seed=0)
+    ps1, r1 = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1, 2])
+    ps8, r8 = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1, 2],
+                             mesh=make_mesh(8, axis="seed"))
+    np.testing.assert_allclose(r8.best_fit, r1.best_fit, rtol=1e-4)
+    for u1, u8 in zip(ps1, ps8):
+        for (o1, a1, c1), (o8, a8, c8) in zip(u1, u8):
+            np.testing.assert_array_equal(o8, o1)
+            np.testing.assert_array_equal(a8, a1)
+            np.testing.assert_allclose(c8, c1, rtol=1e-4, atol=1e-6)
