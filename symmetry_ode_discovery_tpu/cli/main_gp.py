@@ -38,7 +38,6 @@ def run(args: dict) -> dict:
     from ..symgp.evolve import GPConfig, symbolic_regression
     from ..symgp.objective import symbolic_regression_system
     from ..symgp.tape import tape_to_string
-    from ..training.symmreg import precompute_symmreg_r
     from ..utils import checkpoint as ckpt
     from .main import build_models
 
@@ -63,9 +62,14 @@ def run(args: dict) -> dict:
         bundle, ae_bstats = ckpt.load_laligan(args["load_laligan"], bundle, ae_bstats)
         ae_params, g_state = bundle["ae"], bundle["g"]
 
+        from ..training.symmreg import make_precompute_symmreg_r
+
+        # one jitted (g(x), J_g(x)) program reused across all seeds
+        _pre = make_precompute_symmreg_r(ae_def, ae_params, ae_bstats, gspec,
+                                         g_state)
+
         def gx_fn(x):
-            return precompute_symmreg_r(ae_def, ae_params, ae_bstats, gspec,
-                                        g_state, jnp.asarray(x))
+            return _pre(jnp.asarray(x))
 
     n_seeds = args.get("n_seeds", 1)
     seed0 = args["seed"]

@@ -282,6 +282,40 @@ def make_symmreg_i_fast(
     return prep, penalty
 
 
+def make_precompute_symmreg_r(
+    ae_def: AutoEncoderDef, ae_params, batch_stats,
+    spec: GeneratorSpec, g_state: GeneratorState,
+    z_mean: Optional[jnp.ndarray] = None,
+    scale: float = 0.01,
+):
+    """Factory form of precompute_symmreg_r: returns `precompute(x) ->
+    (gx_list, Jgx_list)` with the per-group-element (g(x), J_g(x)) program
+    jitted ONCE and reused across calls. Callers that precompute for many
+    subsample seeds (the EquivGP-r sweep, cli/main_gp.py) must use this —
+    the unjitted path re-dispatches every AE layer per call, which costs
+    ~13 s/seed over the TPU tunnel vs <0.2 s warm jitted."""
+    g_list = lg.get_deterministic_group_elems(spec, g_state, scale=scale)
+
+    @jax.jit
+    def one(g, x):
+        gt = partial(_group_transform, ae_def, ae_params, batch_stats, g,
+                     normalize="global", z_mean=z_mean)
+        gx = gt(x)
+        Jgx = jax.vmap(jax.jacfwd(lambda xi: gt(xi[None, :])[0]))(x)
+        return gx, Jgx
+
+    def precompute(x):
+        gx_list: List[jnp.ndarray] = []
+        Jgx_list: List[jnp.ndarray] = []
+        for g in g_list:
+            gx, Jgx = one(g, x)
+            gx_list.append(gx)
+            Jgx_list.append(Jgx)
+        return gx_list, Jgx_list
+
+    return precompute
+
+
 def precompute_symmreg_r(
     ae_def: AutoEncoderDef, ae_params, batch_stats,
     spec: GeneratorSpec, g_state: GeneratorState,
@@ -291,17 +325,7 @@ def precompute_symmreg_r(
 ):
     """Precompute (g(x), J_g(x)) per deterministic group element for decoupled
     symmetry-regularized engines (reference model_utils.py:172-211, the
-    'beta torch.func' path — here plain vmap(jacfwd))."""
-    g_list = lg.get_deterministic_group_elems(spec, g_state, scale=scale)
-    gx_list: List[jnp.ndarray] = []
-    Jgx_list: List[jnp.ndarray] = []
-    for g in g_list:
-        gt = partial(_group_transform, ae_def, ae_params, batch_stats, g,
-                     normalize="global", z_mean=z_mean)
-        gx_list.append(gt(x))
-
-        def single(xi):
-            return gt(xi[None, :])[0]
-
-        Jgx_list.append(jax.vmap(jax.jacfwd(single))(x))
-    return gx_list, Jgx_list
+    'beta torch.func' path — here plain vmap(jacfwd)). One-shot convenience
+    wrapper; for repeated calls use make_precompute_symmreg_r."""
+    return make_precompute_symmreg_r(ae_def, ae_params, batch_stats, spec,
+                                     g_state, z_mean=z_mean, scale=scale)(x)
