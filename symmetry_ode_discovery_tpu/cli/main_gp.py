@@ -170,17 +170,25 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
 
             mesh = make_mesh(args["mesh_devices"], axis="seed")
 
+        import jax.numpy as jnp
+
+        eval_dtype = (jnp.bfloat16
+                      if args.get("gp_eval_dtype", "f32") == "bf16" else None)
+        eval_backend = args.get("gp_eval_backend", "xla")
+
         def run_chunk():
             if args["pysr_symmreg"]:
                 per_seed, _ = gp_sweep_system(
                     X, dX, spec, cfg, sub_seeds,
                     gx_all=np.stack(gxs), Jgx_all=np.stack(Jgs),
                     w_sym_reg=args["w_sym_reg"],
-                    verbose=args.get("print_eq", False), mesh=mesh)
+                    verbose=args.get("print_eq", False), mesh=mesh,
+                    eval_dtype=eval_dtype, eval_backend=eval_backend)
                 return per_seed, "equation_seed{}.txt"
             per_seed, _ = gp_sweep_plain(X, dX, spec, cfg, sub_seeds,
                                          verbose=args.get("print_eq", False),
-                                         mesh=mesh)
+                                         mesh=mesh, eval_dtype=eval_dtype,
+                                         eval_backend=eval_backend)
             return per_seed, "equations_seed{}.txt"
 
         # One retry per chunk: the axon tunnel occasionally restarts the TPU

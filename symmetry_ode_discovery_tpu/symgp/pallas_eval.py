@@ -1,0 +1,192 @@
+"""Pallas/TPU tape evaluator: the GP fitness stack machine in VMEM.
+
+`tape.eval_tapes` runs the postfix interpreter as a `lax.scan` over tape
+positions with a (P, D, N) value-stack carry. On XLA:TPU that carry
+round-trips HBM every step: for the symmetry-regularized LV protocol
+(2P=2048 tapes, D=16, (1+n_g)*N=12.5k rows, L=40 steps) the stack alone
+moves ~2 * L * P*D*N*4B = tens of GB per generation — the fitness
+evaluation is bandwidth-bound, not compute-bound (bf16 eval speeds the
+sweep ~1.8x end-to-end, the signature of halved carry traffic).
+
+This kernel keeps the whole stack in VMEM scratch for all L steps: HBM
+traffic drops to the tapes (P*L ints), the data tile (n_vars*N) and the
+predictions (P*N) — the interpreter's one-hot selects run at VPU speed on
+VMEM-resident tiles. Same dense one-hot semantics as `eval_tapes`
+(reads/writes and opcode dispatch are where-masked selects, never dynamic
+gathers — see tape.py's TPU note), same overflow->NaN contract, same
+clipped-exp/safe-div guards, so predictions match the XLA interpreter to
+elementwise rounding.
+
+Forward-only by design: the constant-optimization gradient path keeps the
+autodiff `eval_tapes` (sweep.py separates the full-batch fitness loss from
+the differentiated loss precisely so the fitness backend is free to be a
+custom kernel). Mosaic notes honored here: no bool vectors in loop
+carries (`bad` is int32), scratch refs + `fori_loop` instead of
+scan-with-refs, tapes laid out (L, P) so the per-step slice indexes the
+sublane-major axis, never the lane axis.
+
+Reference analog: none — PySR evaluates expression trees per-CPU-core in
+Julia (reference main_pysr.py:80-214); this is the TPU-native equivalent
+of its inner evaluation loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tape import ADD, ARITY, CONST, COS, DIV, EXP, MUL, PAD, SIN, SUB, VAR
+
+TAPE_TILE = 128
+ROW_TILE = 512
+
+
+def _tape_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref, xt_ref,
+                 out_ref, stack_ref):
+    """One (TP tapes) x (TN rows) tile: run all L tape steps in VMEM.
+
+    ops/args/consts blocks are (L, TP); xt is (n_vars, TN); out (TP, TN);
+    stack_ref scratch (D, TP, TN).
+    """
+    TP, TN = out_ref.shape
+    dtype = stack_ref.dtype
+
+    for d in range(D):
+        stack_ref[d] = jnp.zeros((TP, TN), dtype)
+
+    arity = [int(ARITY[code]) for code in table]
+
+    def step(l, carry):
+        sp, bad = carry  # (TP, 1) int32 each
+        op = ops_ref[l][:, None]        # (TP, 1) int32
+        arg = args_ref[l][:, None]      # (TP, 1) int32
+        cval = consts_ref[l][:, None]   # (TP, 1)
+
+        ar = jnp.zeros_like(op)
+        for code, a_c in zip(table, arity):
+            if a_c:
+                ar = jnp.where(op == code, a_c, ar)
+
+        i1 = jnp.clip(sp - 1, 0, D - 1)
+        i2 = jnp.clip(sp - 2, 0, D - 1)
+        a = jnp.zeros((TP, TN), dtype)
+        b = jnp.zeros((TP, TN), dtype)
+        for d in range(D):
+            row = stack_ref[d]
+            # where-mask + accumulate (NOT a mask multiply): 0 * inf in an
+            # unselected slot must not poison the selected read
+            a = a + jnp.where(i1 == d, row, 0.0)
+            b = b + jnp.where(i2 == d, row, 0.0)
+
+        var_val = jnp.zeros((TP, TN), dtype)
+        for v in range(n_vars):
+            var_val = var_val + jnp.where(arg == v, xt_ref[v][None, :], 0.0)
+
+        def safe_div(num, den):
+            ok = jnp.abs(den) > 1e-9
+            return jnp.where(ok, num / jnp.where(ok, den, 1.0), 1.0)
+
+        def op_result(code):
+            # mirrors tape.eval_tapes op_result exactly
+            if code == PAD:
+                return jnp.zeros((TP, TN), dtype)
+            if code == CONST:
+                return jnp.broadcast_to(cval.astype(dtype), (TP, TN))
+            if code == VAR:
+                return var_val
+            if code == ADD:
+                return b + a
+            if code == SUB:
+                return b - a
+            if code == MUL:
+                return b * a
+            if code == DIV:
+                return safe_div(b, a)
+            if code == EXP:
+                return jnp.exp(jnp.clip(a, -40.0, 40.0))
+            if code == SIN:
+                return jnp.sin(a)
+            if code == COS:
+                return jnp.cos(a)
+            return -a       # NEG
+
+        res = op_result(table[0])
+        for code in table[1:]:
+            res = jnp.where(op == code, op_result(code), res)
+
+        write_idx = jnp.clip(sp - ar, 0, D - 1)
+        live = op != PAD
+        for d in range(D):
+            wmask = jnp.logical_and(write_idx == d, live)
+            stack_ref[d] = jnp.where(wmask, res, stack_ref[d])
+
+        delta = jnp.where(live, 1 - ar, 0)
+        new_sp = jnp.clip(sp + delta, 0, D)
+        overflow = jnp.logical_and(live,
+                                   jnp.logical_and(ar == 0, sp >= D))
+        new_bad = jnp.maximum(bad, overflow.astype(jnp.int32))
+        return new_sp, new_bad
+
+    sp0 = jnp.zeros((TP, 1), jnp.int32)
+    sp, bad = jax.lax.fori_loop(0, L, step, (sp0, sp0))
+
+    i_out = jnp.clip(sp - 1, 0, D - 1)
+    out = jnp.zeros((TP, TN), dtype)
+    for d in range(D):
+        out = out + jnp.where(i_out == d, stack_ref[d], 0.0)
+    out_ref[:] = jnp.where(bad > 0, jnp.nan, out).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("stack_depth", "op_table",
+                                             "tape_tile", "row_tile",
+                                             "interpret"))
+def eval_tapes_pallas(ops: jnp.ndarray, args: jnp.ndarray,
+                      consts: jnp.ndarray, X: jnp.ndarray,
+                      stack_depth: int = 16,
+                      op_table: Tuple[int, ...] | None = None,
+                      tape_tile: int = TAPE_TILE, row_tile: int = ROW_TILE,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Drop-in forward-only `tape.eval_tapes` (same signature semantics).
+
+    ops/args: (P, L) int32; consts: (P, L) float32-or-bf16; X: (N, n_vars).
+    Returns (P, N) in X.dtype. The stack and all op arithmetic run in
+    X.dtype (pass bf16 X/consts for the half-bandwidth eval, exactly like
+    the XLA interpreter). Not differentiable — fitness/ranking use only.
+    """
+    if op_table is None:
+        op_table = tuple(range(3, 11))
+    table = (PAD, CONST, VAR) + tuple(o for o in op_table
+                                      if o not in (PAD, CONST, VAR))
+    P, L = ops.shape
+    N, n_vars = X.shape
+    D = stack_depth
+
+    TP = min(tape_tile, max(8, P))
+    TN = min(row_tile, max(128, N))
+    p_tiles = -(-P // TP)
+    n_tiles = -(-N // TN)
+    Pp, Np = p_tiles * TP, n_tiles * TN
+
+    # pad: extra tapes are all-PAD (out 0, bad False), extra rows are zeros
+    opsT = jnp.pad(ops, ((0, Pp - P), (0, 0))).T          # (L, Pp)
+    argsT = jnp.pad(args, ((0, Pp - P), (0, 0))).T
+    constsT = jnp.pad(consts, ((0, Pp - P), (0, 0))).T.astype(X.dtype)
+    XT = jnp.pad(X, ((0, Np - N), (0, 0))).T              # (n_vars, Np)
+
+    tape_spec = pl.BlockSpec((L, TP), lambda i, j: (0, i))
+    out = pl.pallas_call(
+        functools.partial(_tape_kernel, L, D, n_vars, table),
+        grid=(p_tiles, n_tiles),
+        in_specs=[tape_spec, tape_spec, tape_spec,
+                  pl.BlockSpec((n_vars, TN), lambda i, j: (0, j))],
+        out_specs=pl.BlockSpec((TP, TN), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Pp, Np), X.dtype),
+        scratch_shapes=[pltpu.VMEM((D, TP, TN), X.dtype)],
+        interpret=interpret,
+    )(opsT, argsT, constsT, XT)
+    return out[:P, :N]

@@ -34,14 +34,43 @@ from .evolve import GPConfig, breed
 from .tape import TapeSpec, eval_tapes, spec_op_table, tape_length
 
 
+def _eval_fn(spec: TapeSpec, backend: str):
+    """The tape evaluator for a fitness loss: 'xla' (autodiff-capable
+    lax.scan interpreter) or 'pallas' (forward-only VMEM kernel —
+    pallas_eval.py; fitness/ranking only, the const-opt gradient path
+    always differentiates the XLA interpreter)."""
+    if backend == "pallas":
+        from .pallas_eval import eval_tapes_pallas
+
+        interpret = jax.default_backend() == "cpu"  # CPU tests
+
+        def ev(ops, args, consts, X, stack_depth, op_table):
+            return eval_tapes_pallas(ops, args, consts, X, stack_depth,
+                                     op_table=op_table, interpret=interpret)
+
+        return ev
+    if backend != "xla":
+        raise ValueError(f"unknown eval backend: {backend!r}")
+    return eval_tapes
+
+
 def _system_unit_loss(spec: TapeSpec, w_sym_reg: float, n_g: int,
-                      reference_bug_compat: bool = False):
+                      reference_bug_compat: bool = False, eval_dtype=None,
+                      backend: str = "xla"):
     """Per-unit loss for interleaved 2-component tapes.
 
     (ops (2P,L), args, consts, X (N,d), dX (N,d), gx (n_g,N,d),
     Jg (n_g,N,d,d)) -> (P,). Same math as objective.make_symmreg_fitness but
     with the data as traced arguments so it vmaps over units.
+
+    eval_dtype: optional dtype for the tape-machine evaluation (the VPU is
+    2x faster in bf16 and the one-hot interpreter is compute-bound —
+    RESULTS.md wall-clock section). Predictions are cast back to f32 before
+    the loss reductions, so only per-element prediction rounding (~0.4%)
+    enters the fitness; constant-optimization gradients stay full f32.
     """
+
+    evaluate = _eval_fn(spec, backend)
 
     def loss(ops, args, consts, X, dX, gx, Jg):
         N, d = X.shape
@@ -49,8 +78,11 @@ def _system_unit_loss(spec: TapeSpec, w_sym_reg: float, n_g: int,
             all_pts = jnp.concatenate([X[None], gx], axis=0).reshape(-1, d)
         else:
             all_pts = X
-        preds = eval_tapes(ops, args, consts, all_pts, spec.stack_depth,
-                           op_table=spec_op_table(spec))
+        if eval_dtype is not None:
+            all_pts = all_pts.astype(eval_dtype)
+            consts = consts.astype(eval_dtype)
+        preds = evaluate(ops, args, consts, all_pts, spec.stack_depth,
+                         op_table=spec_op_table(spec)).astype(jnp.float32)
         P2 = preds.shape[0]
         preds = preds.reshape(P2 // 2, 2, -1)
         h_x = preds[:, :, :N]
@@ -67,12 +99,18 @@ def _system_unit_loss(spec: TapeSpec, w_sym_reg: float, n_g: int,
     return loss
 
 
-def _plain_unit_loss(spec: TapeSpec):
-    """(ops (P,L), args, consts, X (N,d), y (N,)) -> (P,)."""
+def _plain_unit_loss(spec: TapeSpec, eval_dtype=None, backend: str = "xla"):
+    """(ops (P,L), args, consts, X (N,d), y (N,)) -> (P,).
+
+    eval_dtype: see _system_unit_loss — bf16 tape evaluation, f32 loss."""
+    evaluate = _eval_fn(spec, backend)
 
     def loss(ops, args, consts, X, y):
-        pred = eval_tapes(ops, args, consts, X, spec.stack_depth,
-                          op_table=spec_op_table(spec))
+        if eval_dtype is not None:
+            X = X.astype(eval_dtype)
+            consts = consts.astype(eval_dtype)
+        pred = evaluate(ops, args, consts, X, spec.stack_depth,
+                        op_table=spec_op_table(spec)).astype(jnp.float32)
         mse = jnp.mean((pred - y[None, :]) ** 2, axis=1)
         return jnp.where(jnp.isfinite(mse), mse, jnp.inf)
 
@@ -80,7 +118,8 @@ def _plain_unit_loss(spec: TapeSpec):
 
 
 def make_sweep_gen_step(unit_loss, steps: int, lr: float, topk: int,
-                        group: int = 1, n_data: int = 0, mesh=None):
+                        group: int = 1, n_data: int = 0, mesh=None,
+                        fit_loss=None):
     """Fused per-generation device program, vmapped over units.
 
     unit_loss(ops, args, consts, *data) -> (P,) group losses.
@@ -100,15 +139,22 @@ def make_sweep_gen_step(unit_loss, steps: int, lr: float, topk: int,
     sharded over it (shard_map, embarrassingly parallel like every other
     sweep in this framework; the unit count must be divisible by the mesh
     size — _run_sweep pads).
+
+    fit_loss: optional loss used for the full-batch fitness evaluations
+    (population ranking + const-opt accept/reject) — e.g. a bf16-eval
+    variant of unit_loss. The Adam gradient always differentiates
+    unit_loss (full f32). Defaults to unit_loss.
     """
     import optax
 
     opt = optax.adam(lr)
+    if fit_loss is None:
+        fit_loss = unit_loss
 
     def unit_gen(ops, args, consts, *all_data):
         data = all_data[:n_data] if n_data else all_data
         data_small = all_data[n_data:] if n_data else all_data
-        fit0 = unit_loss(ops, args, consts, *data)  # (P,)
+        fit0 = fit_loss(ops, args, consts, *data)  # (P,)
         if steps <= 0 or topk <= 0:
             return consts, fit0
         # best-K groups by current fitness
@@ -128,7 +174,7 @@ def make_sweep_gen_step(unit_loss, steps: int, lr: float, topk: int,
 
         (c_new, _), _ = jax.lax.scan(step, (c0, opt.init(c0)), None,
                                      length=steps)
-        fit_new = unit_loss(sub_ops, sub_args, c_new, *data)
+        fit_new = fit_loss(sub_ops, sub_args, c_new, *data)
         fit_old = fit0[idx]
         take = fit_new < fit_old
         c_final = jnp.where(jnp.repeat(take, group)[:, None], c_new, c0)
@@ -155,7 +201,7 @@ class SweepResult:
 def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
                rngs, group: int, topk: int, verbose: bool = False,
                gen_cb=None, data_small=None, select: str = "penalized",
-               mesh=None):
+               mesh=None, fit_loss=None):
     """Shared evolution driver over a batch of units.
 
     populations: (ops (U,G*P,L), args, consts) numpy arrays.
@@ -190,7 +236,8 @@ def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
             data_small = tuple(pad_u(a) for a in data_small)
     gen_step = make_sweep_gen_step(unit_loss, cfg.const_opt_steps,
                                    cfg.const_opt_lr, topk, group,
-                                   n_data=len(data_arrays), mesh=mesh)
+                                   n_data=len(data_arrays), mesh=mesh,
+                                   fit_loss=fit_loss)
     data_arrays = tuple(data_arrays) + tuple(data_small)
     best = [None] * U
     best_fit = np.full(U, np.inf)
@@ -251,8 +298,16 @@ def gp_sweep_plain(
     verbose: bool = False,
     const_subsample: int = 512,
     mesh=None,
+    eval_dtype=None,
+    eval_backend: str = "xla",
 ):
     """Per-dimension independent GP for S seeds: units are (seed, dim).
+
+    eval_dtype: optional dtype (e.g. jnp.bfloat16) for the full-batch
+    fitness tape evaluations — ~1.9x faster on the VPU; constant
+    optimization stays f32 (see _plain_unit_loss).
+    eval_backend: 'xla' or 'pallas' for those same fitness evaluations
+    (the VMEM stack-machine kernel, pallas_eval.py).
 
     Returns a list (per seed) of per-dim best tapes
     [[(ops,args,consts) for dim in d] for seed in S].
@@ -274,10 +329,14 @@ def gp_sweep_plain(
     y_u = jnp.asarray(np.stack([dX_all[s, :, dim]
                                 for s in range(S) for dim in range(d)]))
     k = min(N, const_subsample)  # rows are already a random subsample
+    fit_loss = (None if eval_dtype is None and eval_backend == "xla"
+                else _plain_unit_loss(spec, eval_dtype=eval_dtype,
+                                      backend=eval_backend))
     res = _run_sweep((ops, args, consts), (X_u, y_u),
                      _plain_unit_loss(spec), spec, cfg, rngs, group=1,
                      topk=topk, verbose=verbose,
-                     data_small=(X_u[:, :k], y_u[:, :k]), mesh=mesh)
+                     data_small=(X_u[:, :k], y_u[:, :k]), mesh=mesh,
+                     fit_loss=fit_loss)
     # each res.best[u] is (ops (1,L), args, consts) — squeeze the group axis
     per_seed = [[tuple(arr[0] for arr in res.best[s * d + dim])
                  for dim in range(d)] for s in range(S)]
@@ -297,8 +356,13 @@ def gp_sweep_system(
     verbose: bool = False,
     const_subsample: int = 512,
     mesh=None,
+    eval_dtype=None,
+    eval_backend: str = "xla",
 ):
     """Two-component system GP (optionally symmetry-regularized) for S seeds.
+
+    eval_dtype / eval_backend: dtype and evaluator for the full-batch
+    fitness tape evaluations (see gp_sweep_plain).
 
     Returns (per-seed best pairs [((ops,args,consts) h1, h2)], SweepResult).
     """
@@ -322,10 +386,15 @@ def gp_sweep_system(
     k = min(N, const_subsample)  # rows are already a random subsample
     data_small = (data[0][:, :k], data[1][:, :k],
                   data[2][:, :, :k], data[3][:, :, :k])
+    fit_loss = (None if eval_dtype is None and eval_backend == "xla"
+                else _system_unit_loss(spec, w_sym_reg, n_g,
+                                       eval_dtype=eval_dtype,
+                                       backend=eval_backend))
     res = _run_sweep((ops, args, consts), data,
                      _system_unit_loss(spec, w_sym_reg, n_g), spec, cfg,
                      rngs, group=2, topk=topk, verbose=verbose,
-                     data_small=data_small, select="raw", mesh=mesh)
+                     data_small=data_small, select="raw", mesh=mesh,
+                     fit_loss=fit_loss)
     per_seed = [tuple((res.best[s][0][c], res.best[s][1][c], res.best[s][2][c])
                       for c in range(2)) for s in range(S)]
     return per_seed, res

@@ -106,6 +106,17 @@ def build_parser() -> argparse.ArgumentParser:
     # 0 = no cap. Constant-optimization gradients use a further 512-row
     # subsample (symgp/sweep.py).
     parser.add_argument("--gp_fitness_rows", type=int, default=2500)
+    # Dtype of the GP fitness tape evaluations (bf16 is ~1.9x faster on the
+    # VPU; predictions are cast back to f32 for the loss reductions and
+    # constant-optimization gradients stay f32 — symgp/sweep.py).
+    parser.add_argument("--gp_eval_dtype", type=str, default="f32",
+                        choices=["f32", "bf16"])
+    # Evaluator for those fitness passes: 'xla' (lax.scan interpreter) or
+    # 'pallas' (forward-only VMEM stack-machine kernel, symgp/pallas_eval.py
+    # — removes the per-step HBM stack-carry traffic). Constant-optimization
+    # gradients always use the XLA interpreter.
+    parser.add_argument("--gp_eval_backend", type=str, default="xla",
+                        choices=["xla", "pallas"])
     # Redo seeds that already have eval npz files (GP sweep resume skips
     # them by default so crashed sweeps restart where they left off).
     parser.add_argument("--overwrite_eval", action="store_true")

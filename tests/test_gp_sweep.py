@@ -86,3 +86,78 @@ def test_gp_sweep_mesh_matches_vmap():
             np.testing.assert_array_equal(o8, o1)
             np.testing.assert_array_equal(a8, a1)
             np.testing.assert_allclose(c8, c1, rtol=1e-4, atol=1e-6)
+
+
+def test_gp_sweep_plain_bf16_fitness():
+    """bf16 fitness evaluation (--gp_eval_dtype bf16): same discovery on an
+    easy target, f32 fitness values (preds cast back before reductions)."""
+    rng = np.random.default_rng(0)
+    S, N = 2, 64
+    X = rng.standard_normal((S, N, 2)).astype(np.float32)
+    dX = np.stack([2.0 * X[..., 0], X[..., 1] - X[..., 0]], axis=-1)
+    spec = TapeSpec(n_vars=2, max_len=16, binary_ops=(ADD, SUB, MUL))
+    cfg = GPConfig(pop_size=128, n_generations=12, const_opt_steps=4, seed=0)
+    per_seed, res = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1],
+                                   eval_dtype=jnp.bfloat16)
+    assert res.best_fit.dtype == np.float64 or res.best_fit.dtype == np.float32
+    # the easy linear target is still found through bf16 ranking
+    assert res.best_fit.max() < 0.05, res.best_fit
+    assert np.all(np.diff(res.history, axis=1) <= 1e-7)
+
+def test_gp_sweep_pallas_fitness_matches_xla():
+    """--gp_eval_backend pallas: the VMEM stack-machine fitness kernel
+    computes the same per-step arithmetic in the same order as the XLA
+    interpreter, so the f32 sweep outcome is bit-identical (interpret mode
+    on the CPU test backend)."""
+    rng = np.random.default_rng(0)
+    S, N = 2, 64
+    X = rng.standard_normal((S, N, 2)).astype(np.float32)
+    dX = np.stack([2.0 * X[..., 0], X[..., 1] - X[..., 0]], axis=-1)
+    spec = TapeSpec(n_vars=2, max_len=16, binary_ops=(ADD, SUB, MUL))
+    cfg = GPConfig(pop_size=128, n_generations=8, const_opt_steps=4, seed=0)
+    ps_x, r_x = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1])
+    ps_p, r_p = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1],
+                               eval_backend="pallas")
+    np.testing.assert_array_equal(r_p.best_fit, r_x.best_fit)
+    for u_x, u_p in zip(ps_x, ps_p):
+        for (o1, a1, c1), (o2, a2, c2) in zip(u_x, u_p):
+            np.testing.assert_array_equal(o2, o1)
+            np.testing.assert_array_equal(a2, a1)
+            np.testing.assert_array_equal(c2, c1)
+
+
+def test_pallas_eval_tapes_parity():
+    """Kernel-level parity vs tape.eval_tapes: random population incl. DIV/
+    EXP/SIN ops, overflow rows NaN in both, values bit-equal (interpret)."""
+    from symmetry_ode_discovery_tpu.symgp.pallas_eval import eval_tapes_pallas
+    from symmetry_ode_discovery_tpu.symgp.tape import (
+        DIV, EXP, SIN, VAR, eval_tapes, random_population, spec_op_table,
+    )
+
+    rng = np.random.default_rng(3)
+    spec = TapeSpec(n_vars=2, max_len=24, stack_depth=8,
+                    binary_ops=(ADD, SUB, MUL, DIV), unary_ops=(EXP, SIN))
+    ops, args, consts = random_population(rng, spec, 200)
+    X = rng.standard_normal((300, 2)).astype(np.float32)
+    tbl = spec_op_table(spec)
+    ref = np.asarray(eval_tapes(jnp.asarray(ops), jnp.asarray(args),
+                                jnp.asarray(consts), jnp.asarray(X),
+                                spec.stack_depth, op_table=tbl))
+    out = np.asarray(eval_tapes_pallas(jnp.asarray(ops), jnp.asarray(args),
+                                       jnp.asarray(consts), jnp.asarray(X),
+                                       spec.stack_depth, op_table=tbl,
+                                       interpret=True))
+    np.testing.assert_array_equal(np.isnan(ref), np.isnan(out))
+    m = ~np.isnan(ref)
+    np.testing.assert_array_equal(ref[m], out[m])
+
+    # depth-3 program on a depth-2 stack must NaN in both
+    ops2 = np.array([[VAR, VAR, VAR, ADD, ADD, 0, 0, 0]], np.int32)
+    z = np.zeros_like(ops2)
+    r2 = eval_tapes(jnp.asarray(ops2), jnp.asarray(z),
+                    jnp.asarray(z, np.float32).astype(np.float32),
+                    jnp.asarray(X), 2)
+    p2 = eval_tapes_pallas(jnp.asarray(ops2), jnp.asarray(z),
+                           jnp.asarray(np.zeros_like(ops2, np.float32)),
+                           jnp.asarray(X), 2, interpret=True)
+    assert np.isnan(np.asarray(r2)).all() and np.isnan(np.asarray(p2)).all()
