@@ -50,8 +50,11 @@ def _tape_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref, xt_ref,
                  out_ref, stack_ref):
     """One (TP tapes) x (TN rows) tile: run all L tape steps in VMEM.
 
-    ops/args/consts blocks are (L, TP); xt is (n_vars, TN); out (TP, TN);
-    stack_ref scratch (D, TP, TN).
+    ops/args/consts blocks are (L, TP, 1) — trailing singleton so the
+    per-step load `ref[l]` is already a sublane-major (TP, 1) tile that
+    broadcasts against (TP, TN) without a lane->sublane relayout (a (L, TP)
+    layout would load (TP,) lane-major vectors and transpose every step).
+    xt is (n_vars, TN); out (TP, TN); stack_ref scratch (D, TP, TN).
     """
     TP, TN = out_ref.shape
     dtype = stack_ref.dtype
@@ -63,9 +66,9 @@ def _tape_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref, xt_ref,
 
     def step(l, carry):
         sp, bad = carry  # (TP, 1) int32 each
-        op = ops_ref[l][:, None]        # (TP, 1) int32
-        arg = args_ref[l][:, None]      # (TP, 1) int32
-        cval = consts_ref[l][:, None]   # (TP, 1)
+        op = ops_ref[l]        # (TP, 1) int32
+        arg = args_ref[l]      # (TP, 1) int32
+        cval = consts_ref[l]   # (TP, 1)
 
         ar = jnp.zeros_like(op)
         for code, a_c in zip(table, arity):
@@ -173,12 +176,12 @@ def eval_tapes_pallas(ops: jnp.ndarray, args: jnp.ndarray,
     Pp, Np = p_tiles * TP, n_tiles * TN
 
     # pad: extra tapes are all-PAD (out 0, bad False), extra rows are zeros
-    opsT = jnp.pad(ops, ((0, Pp - P), (0, 0))).T          # (L, Pp)
-    argsT = jnp.pad(args, ((0, Pp - P), (0, 0))).T
-    constsT = jnp.pad(consts, ((0, Pp - P), (0, 0))).T.astype(X.dtype)
+    opsT = jnp.pad(ops, ((0, Pp - P), (0, 0))).T[:, :, None]   # (L, Pp, 1)
+    argsT = jnp.pad(args, ((0, Pp - P), (0, 0))).T[:, :, None]
+    constsT = jnp.pad(consts, ((0, Pp - P), (0, 0))).T.astype(X.dtype)[:, :, None]
     XT = jnp.pad(X, ((0, Np - N), (0, 0))).T              # (n_vars, Np)
 
-    tape_spec = pl.BlockSpec((L, TP), lambda i, j: (0, i))
+    tape_spec = pl.BlockSpec((L, TP, 1), lambda i, j: (0, i, 0))
     out = pl.pallas_call(
         functools.partial(_tape_kernel, L, D, n_vars, table),
         grid=(p_tiles, n_tiles),

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--gens", type=int, default=8)
     ap.add_argument("--pop", type=int, default=1000)
     ap.add_argument("--topk", type=int, default=None)
+    ap.add_argument("--eval_dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--eval_backend", default="xla", choices=["xla", "pallas"])
     opts = ap.parse_args()
 
     import jax
@@ -72,8 +74,13 @@ def main():
                                 for s in range(S) for dim in range(d)]))
     k = min(N, 512)
     data = (X_u, y_u, X_u[:, :k], y_u[:, :k])
+    eval_dtype = jnp.bfloat16 if opts.eval_dtype == "bf16" else None
+    fit_loss = (None if eval_dtype is None and opts.eval_backend == "xla"
+                else _plain_unit_loss(spec, eval_dtype=eval_dtype,
+                                      backend=opts.eval_backend))
     gen_step = make_sweep_gen_step(_plain_unit_loss(spec), cfg.const_opt_steps,
-                                   cfg.const_opt_lr, topk, group=1, n_data=2)
+                                   cfg.const_opt_lr, topk, group=1, n_data=2,
+                                   fit_loss=fit_loss)
 
     print(f"U={U} units, P={P}, N={N}, L={spec.max_len}, topk={topk}")
     t = {"upload": 0.0, "device": 0.0, "download": 0.0, "host": 0.0,

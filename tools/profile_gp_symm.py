@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--topk", type=int, default=None)
     ap.add_argument("--const_opt_steps", type=int, default=None)
     ap.add_argument("--eval_dtype", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--eval_backend", default="xla", choices=["xla", "pallas"])
     opts = ap.parse_args()
 
     import jax
@@ -100,9 +101,11 @@ def main():
     ks = min(N, 512)
     data_small = (data[0][:, :ks], data[1][:, :ks],
                   data[2][:, :, :ks], data[3][:, :, :ks])
-    fit_loss = (None if opts.eval_dtype == "f32"
+    eval_dtype = jnp.bfloat16 if opts.eval_dtype == "bf16" else None
+    fit_loss = (None if eval_dtype is None and opts.eval_backend == "xla"
                 else _system_unit_loss(spec, args["w_sym_reg"], n_g,
-                                       eval_dtype=jnp.bfloat16))
+                                       eval_dtype=eval_dtype,
+                                       backend=opts.eval_backend))
     gen_step = make_sweep_gen_step(_system_unit_loss(spec, args["w_sym_reg"],
                                                      n_g),
                                    cfg.const_opt_steps, cfg.const_opt_lr,
