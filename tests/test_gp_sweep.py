@@ -161,3 +161,30 @@ def test_pallas_eval_tapes_parity():
                            jnp.asarray(np.zeros_like(ops2, np.float32)),
                            jnp.asarray(X), 2, interpret=True)
     assert np.isnan(np.asarray(r2)).all() and np.isnan(np.asarray(p2)).all()
+
+def test_gp_sweep_system_pallas_matches_xla():
+    """The symmetry-regularized system sweep through the Pallas fitness
+    backend: the (1+n_g)*N evaluation-row path (x plus g(x) rows, paired
+    2P tapes) reproduces the XLA-interpreter sweep bit-for-bit."""
+    rng = np.random.default_rng(1)
+    S, N = 2, 48
+    X = rng.standard_normal((S, N, 2)).astype(np.float32)
+    dX = np.stack([-X[..., 1], X[..., 0]], axis=-1)
+    th = 0.05
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                 np.float32)
+    gx = np.einsum("ij,snj->sni", R, X)[:, None]
+    Jg = np.broadcast_to(R, (S, 1, N, 2, 2)).copy()
+    spec = TapeSpec(n_vars=2, max_len=16, binary_ops=(ADD, SUB, MUL))
+    cfg = GPConfig(pop_size=96, n_generations=8, const_opt_steps=4, seed=0)
+    ps_x, r_x = gp_sweep_system(X, dX, spec, cfg, seeds=[0, 1],
+                                gx_all=gx, Jgx_all=Jg, w_sym_reg=0.1)
+    ps_p, r_p = gp_sweep_system(X, dX, spec, cfg, seeds=[0, 1],
+                                gx_all=gx, Jgx_all=Jg, w_sym_reg=0.1,
+                                eval_backend="pallas")
+    np.testing.assert_array_equal(r_p.best_fit, r_x.best_fit)
+    for u_x, u_p in zip(ps_x, ps_p):
+        for (o1, a1, c1), (o2, a2, c2) in zip(u_x, u_p):
+            np.testing.assert_array_equal(o2, o1)
+            np.testing.assert_array_equal(a2, a1)
+            np.testing.assert_array_equal(c2, c1)
