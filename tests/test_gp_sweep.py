@@ -188,3 +188,24 @@ def test_gp_sweep_system_pallas_matches_xla():
             np.testing.assert_array_equal(o2, o1)
             np.testing.assert_array_equal(a2, a1)
             np.testing.assert_array_equal(c2, c1)
+
+def test_gp_sweep_pallas_bf16_combination():
+    """--gp_eval_backend pallas --gp_eval_dtype bf16 together: the VMEM
+    kernel runs the stack machine in bfloat16 and the sweep is bit-equal to
+    the bf16 XLA interpreter (the production TPU fast path)."""
+    rng = np.random.default_rng(0)
+    S, N = 2, 64
+    X = rng.standard_normal((S, N, 2)).astype(np.float32)
+    dX = np.stack([2.0 * X[..., 0], X[..., 1] - X[..., 0]], axis=-1)
+    spec = TapeSpec(n_vars=2, max_len=16, binary_ops=(ADD, SUB, MUL))
+    cfg = GPConfig(pop_size=128, n_generations=8, const_opt_steps=4, seed=0)
+    ps_p, r_p = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1],
+                               eval_dtype=jnp.bfloat16, eval_backend="pallas")
+    ps_x, r_x = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1],
+                               eval_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(r_p.best_fit, r_x.best_fit)
+    for u_x, u_p in zip(ps_x, ps_p):
+        for (o1, a1, c1), (o2, a2, c2) in zip(u_x, u_p):
+            np.testing.assert_array_equal(o2, o1)
+            np.testing.assert_array_equal(a2, a1)
+            np.testing.assert_array_equal(c2, c1)
