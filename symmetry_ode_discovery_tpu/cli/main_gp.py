@@ -82,7 +82,8 @@ def run(args: dict) -> dict:
         idx = rng.choice(len(x_all), subsample_size, replace=False)
         x, dx = x_all[idx], dx_all[idx]
         cfg = GPConfig(pop_size=args.get("pysr_bs", 1000),
-                       n_generations=40, seed=seed)
+                       n_generations=args.get("gp_generations", 40),
+                       seed=seed)
         if args["pysr_symmreg"]:
             gx_list, Jgx_list = gx_fn(x)
             best, hist = symbolic_regression_system(
@@ -159,7 +160,8 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
                 Jgs.append(np.stack([np.asarray(J) for J in Jgx_list]))
         X = np.stack(xs)
         dX = np.stack(dxs)
-        cfg = GPConfig(pop_size=args.get("pysr_bs", 1000), n_generations=40,
+        cfg = GPConfig(pop_size=args.get("pysr_bs", 1000),
+                       n_generations=args.get("gp_generations", 40),
                        seed=seed0)
 
         mesh = None
@@ -175,6 +177,7 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
         eval_dtype = (jnp.bfloat16
                       if args.get("gp_eval_dtype", "f32") == "bf16" else None)
         eval_backend = args.get("gp_eval_backend", "xla")
+        grad_backend = args.get("gp_grad_backend", "xla")
 
         def run_chunk():
             if args["pysr_symmreg"]:
@@ -183,12 +186,14 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
                     gx_all=np.stack(gxs), Jgx_all=np.stack(Jgs),
                     w_sym_reg=args["w_sym_reg"],
                     verbose=args.get("print_eq", False), mesh=mesh,
-                    eval_dtype=eval_dtype, eval_backend=eval_backend)
+                    eval_dtype=eval_dtype, eval_backend=eval_backend,
+                    grad_backend=grad_backend)
                 return per_seed, "equation_seed{}.txt"
             per_seed, _ = gp_sweep_plain(X, dX, spec, cfg, sub_seeds,
                                          verbose=args.get("print_eq", False),
                                          mesh=mesh, eval_dtype=eval_dtype,
-                                         eval_backend=eval_backend)
+                                         eval_backend=eval_backend,
+                                         grad_backend=grad_backend)
             return per_seed, "equations_seed{}.txt"
 
         # One retry per chunk: the axon tunnel occasionally restarts the TPU

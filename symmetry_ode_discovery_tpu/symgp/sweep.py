@@ -35,14 +35,27 @@ from .tape import TapeSpec, eval_tapes, spec_op_table, tape_length
 
 
 def _eval_fn(spec: TapeSpec, backend: str):
-    """The tape evaluator for a fitness loss: 'xla' (autodiff-capable
-    lax.scan interpreter) or 'pallas' (forward-only VMEM kernel —
-    pallas_eval.py; fitness/ranking only, the const-opt gradient path
-    always differentiates the XLA interpreter)."""
-    if backend == "pallas":
-        from .pallas_eval import eval_tapes_pallas
+    """The tape evaluator for a unit loss: 'xla' (autodiff-capable
+    lax.scan interpreter), 'pallas' (forward-only VMEM kernel —
+    pallas_eval.py; fitness/ranking only), or 'pallas_grad' (same forward,
+    plus the zero-residual VMEM VJP kernel for d/d consts — usable in the
+    const-opt gradient loss)."""
+    if backend in ("pallas", "pallas_grad"):
+        from .pallas_eval import eval_tapes_pallas, make_diff_eval_pallas
 
         interpret = jax.default_backend() == "cpu"  # CPU tests
+
+        if backend == "pallas_grad":
+            cache = {}
+
+            def ev(ops, args, consts, X, stack_depth, op_table):
+                key = (stack_depth, op_table)
+                if key not in cache:
+                    cache[key] = make_diff_eval_pallas(
+                        stack_depth, op_table, interpret=interpret)
+                return cache[key](ops, args, consts, X)
+
+            return ev
 
         def ev(ops, args, consts, X, stack_depth, op_table):
             return eval_tapes_pallas(ops, args, consts, X, stack_depth,
@@ -300,6 +313,7 @@ def gp_sweep_plain(
     mesh=None,
     eval_dtype=None,
     eval_backend: str = "xla",
+    grad_backend: str = "xla",
 ):
     """Per-dimension independent GP for S seeds: units are (seed, dim).
 
@@ -308,6 +322,9 @@ def gp_sweep_plain(
     optimization stays f32 (see _plain_unit_loss).
     eval_backend: 'xla' or 'pallas' for those same fitness evaluations
     (the VMEM stack-machine kernel, pallas_eval.py).
+    grad_backend: 'xla' (autodiff through the scan interpreter) or 'pallas'
+    (zero-residual fused VJP kernel) for the const-opt gradient loss —
+    always f32 either way.
 
     Returns a list (per seed) of per-dim best tapes
     [[(ops,args,consts) for dim in d] for seed in S].
@@ -332,8 +349,10 @@ def gp_sweep_plain(
     fit_loss = (None if eval_dtype is None and eval_backend == "xla"
                 else _plain_unit_loss(spec, eval_dtype=eval_dtype,
                                       backend=eval_backend))
+    grad_be = "pallas_grad" if grad_backend == "pallas" else "xla"
     res = _run_sweep((ops, args, consts), (X_u, y_u),
-                     _plain_unit_loss(spec), spec, cfg, rngs, group=1,
+                     _plain_unit_loss(spec, backend=grad_be), spec, cfg,
+                     rngs, group=1,
                      topk=topk, verbose=verbose,
                      data_small=(X_u[:, :k], y_u[:, :k]), mesh=mesh,
                      fit_loss=fit_loss)
@@ -358,11 +377,12 @@ def gp_sweep_system(
     mesh=None,
     eval_dtype=None,
     eval_backend: str = "xla",
+    grad_backend: str = "xla",
 ):
     """Two-component system GP (optionally symmetry-regularized) for S seeds.
 
-    eval_dtype / eval_backend: dtype and evaluator for the full-batch
-    fitness tape evaluations (see gp_sweep_plain).
+    eval_dtype / eval_backend / grad_backend: dtype and evaluators for the
+    full-batch fitness and const-opt gradient losses (see gp_sweep_plain).
 
     Returns (per-seed best pairs [((ops,args,consts) h1, h2)], SweepResult).
     """
@@ -390,8 +410,10 @@ def gp_sweep_system(
                 else _system_unit_loss(spec, w_sym_reg, n_g,
                                        eval_dtype=eval_dtype,
                                        backend=eval_backend))
+    grad_be = "pallas_grad" if grad_backend == "pallas" else "xla"
     res = _run_sweep((ops, args, consts), data,
-                     _system_unit_loss(spec, w_sym_reg, n_g), spec, cfg,
+                     _system_unit_loss(spec, w_sym_reg, n_g,
+                                       backend=grad_be), spec, cfg,
                      rngs, group=2, topk=topk, verbose=verbose,
                      data_small=data_small, select="raw", mesh=mesh,
                      fit_loss=fit_loss)

@@ -106,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     # 0 = no cap. Constant-optimization gradients use a further 512-row
     # subsample (symgp/sweep.py).
     parser.add_argument("--gp_fitness_rows", type=int, default=2500)
+    # Generations per GP run (reference 'niterations', main_pysr.py:139).
+    parser.add_argument("--gp_generations", type=int, default=40)
     # Dtype of the GP fitness tape evaluations (bf16 is ~1.9x faster on the
     # VPU; predictions are cast back to f32 for the loss reductions and
     # constant-optimization gradients stay f32 — symgp/sweep.py).
@@ -116,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
     # — removes the per-step HBM stack-carry traffic). Constant-optimization
     # gradients always use the XLA interpreter.
     parser.add_argument("--gp_eval_backend", type=str, default="xla",
+                        choices=["xla", "pallas"])
+    # Evaluator for the const-opt gradient loss: 'xla' autodiff of the scan
+    # interpreter (saves a (L, topk, D, N) residual through HBM per Adam
+    # step) or 'pallas' — the zero-residual fused VJP kernel (forward replay
+    # + reverse sweep in VMEM, pallas_eval.py make_diff_eval_pallas).
+    parser.add_argument("--gp_grad_backend", type=str, default="xla",
                         choices=["xla", "pallas"])
     # Redo seeds that already have eval npz files (GP sweep resume skips
     # them by default so crashed sweeps restart where they left off).

@@ -108,3 +108,23 @@ def test_cli_symreg_sweep_host_stepped(tiny_dosc_cache):
         "--lbfgs_subsample", "0.5", "--n_seeds", "2", "--seed_chunk", "2",
     ]))
     assert res["Xi"].shape[0] == 2
+
+
+def test_cli_main_gp_sweep(tiny_dosc_cache):
+    """GP sweep CLI smoke: 2-seed sweep mode with the Pallas fitness and
+    const-opt gradient backends, tiny population/generations."""
+    from symmetry_ode_discovery_tpu.cli import main_gp as mgp
+
+    args = _args(["--pysr_subsample", "0.5", "--pysr_bs", "32",
+                  "--gp_generations", "2", "--gp_fitness_rows", "64",
+                  "--n_seeds", "2", "--save_dir", "cli-gp-smoke",
+                  "--gp_eval_backend", "pallas",
+                  "--gp_grad_backend", "pallas"])
+    mgp.run(args)
+    import glob
+    eqs = sorted(glob.glob("saved_models/cli-gp-smoke/equations_seed*.txt"))
+    assert len(eqs) == 2
+    assert len(glob.glob("eval_results/cli-gp-smoke/seed*.npz")) == 2
+    for f in eqs:
+        lines = open(f).read().strip().splitlines()
+        assert len(lines) == 2 and all(l for l in lines)

@@ -209,3 +209,90 @@ def test_gp_sweep_pallas_bf16_combination():
             np.testing.assert_array_equal(o2, o1)
             np.testing.assert_array_equal(a2, a1)
             np.testing.assert_array_equal(c2, c1)
+
+def test_gp_sweep_grad_backend_pallas():
+    """--gp_grad_backend pallas: the zero-residual VJP kernel drives the
+    Adam constant optimization. Gradient row-sums associate differently
+    than XLA autodiff (per-row-tile accumulation), so outcomes are compared
+    statistically: same easy-target discovery, near-identical best fitness."""
+    rng = np.random.default_rng(0)
+    S, N = 2, 64
+    X = rng.standard_normal((S, N, 2)).astype(np.float32)
+    dX = np.stack([2.0 * X[..., 0], X[..., 1] - X[..., 0]], axis=-1)
+    spec = TapeSpec(n_vars=2, max_len=16, binary_ops=(ADD, SUB, MUL))
+    cfg = GPConfig(pop_size=128, n_generations=10, const_opt_steps=4, seed=0)
+    ps_x, r_x = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1])
+    ps_p, r_p = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1],
+                               grad_backend="pallas")
+    assert r_p.best_fit.max() < 0.05, r_p.best_fit
+    np.testing.assert_allclose(r_p.best_fit, r_x.best_fit, atol=1e-3)
+
+
+def test_gp_sweep_system_grad_backend_pallas():
+    """Symmetry-regularized system sweep with the fused VJP const-opt:
+    the symm penalty's cotangent (einsum with J_g across both components)
+    flows through the kernel's consts gradient correctly."""
+    rng = np.random.default_rng(1)
+    S, N = 2, 48
+    X = rng.standard_normal((S, N, 2)).astype(np.float32)
+    dX = np.stack([-X[..., 1], X[..., 0]], axis=-1)
+    th = 0.05
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                 np.float32)
+    gx = np.einsum("ij,snj->sni", R, X)[:, None]
+    Jg = np.broadcast_to(R, (S, 1, N, 2, 2)).copy()
+    spec = TapeSpec(n_vars=2, max_len=16, binary_ops=(ADD, SUB, MUL))
+    cfg = GPConfig(pop_size=96, n_generations=8, const_opt_steps=4, seed=0)
+    ps_x, r_x = gp_sweep_system(X, dX, spec, cfg, seeds=[0, 1],
+                                gx_all=gx, Jgx_all=Jg, w_sym_reg=0.1)
+    ps_p, r_p = gp_sweep_system(X, dX, spec, cfg, seeds=[0, 1],
+                                gx_all=gx, Jgx_all=Jg, w_sym_reg=0.1,
+                                grad_backend="pallas")
+    assert np.isfinite(r_p.best_fit).all()
+    np.testing.assert_allclose(r_p.best_fit, r_x.best_fit, atol=2e-3)
+
+
+def test_pallas_grad_kernel_matches_autodiff():
+    """Kernel-level: d loss/d consts from eval_tapes_pallas_grad equals
+    jax.grad of the XLA interpreter on a random population including
+    DIV/EXP/SIN/COS/NEG and overflow (NaN) tapes."""
+    from symmetry_ode_discovery_tpu.symgp.pallas_eval import (
+        eval_tapes_pallas_grad, make_diff_eval_pallas)
+    from symmetry_ode_discovery_tpu.symgp.tape import (
+        COS, DIV, EXP, NEG, SIN, eval_tapes, random_population,
+        spec_op_table)
+
+    rng = np.random.default_rng(7)
+    spec = TapeSpec(n_vars=2, max_len=24, stack_depth=8,
+                    binary_ops=(ADD, SUB, MUL, DIV),
+                    unary_ops=(EXP, SIN, COS, NEG))
+    ops, args, consts = random_population(rng, spec, 160)
+    X = rng.standard_normal((200, 2)).astype(np.float32)
+    y = rng.standard_normal((160, 200)).astype(np.float32)
+    tbl = spec_op_table(spec)
+    opsj, argsj = jnp.asarray(ops), jnp.asarray(args)
+    cj, Xj, yj = jnp.asarray(consts), jnp.asarray(X), jnp.asarray(y)
+
+    def loss_ref(c):
+        p = eval_tapes(opsj, argsj, c, Xj, spec.stack_depth, op_table=tbl)
+        return jnp.sum(jnp.where(jnp.isnan(p), 0.0, p) * yj)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(cj))
+
+    ev = make_diff_eval_pallas(spec.stack_depth, tbl, interpret=True)
+
+    def loss_k(c):
+        p = ev(opsj, argsj, c, Xj)
+        return jnp.sum(jnp.where(jnp.isnan(p), 0.0, p) * yj)
+
+    g_k = np.asarray(jax.grad(loss_k)(cj))
+    assert np.isfinite(g_k).all()
+    np.testing.assert_allclose(g_k, g_ref, rtol=1e-4, atol=1e-4)
+
+    # direct kernel call with an explicit cotangent
+    p = eval_tapes(opsj, argsj, cj, Xj, spec.stack_depth, op_table=tbl)
+    gbar = jnp.where(jnp.isnan(p), 0.0, yj)
+    g_d = np.asarray(eval_tapes_pallas_grad(opsj, argsj, cj, Xj, gbar,
+                                            spec.stack_depth, op_table=tbl,
+                                            interpret=True))
+    np.testing.assert_allclose(g_d, g_ref, rtol=1e-4, atol=1e-4)
