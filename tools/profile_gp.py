@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--topk", type=int, default=None)
     ap.add_argument("--eval_dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--eval_backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--grad_backend", default="xla", choices=["xla", "pallas"])
     opts = ap.parse_args()
 
     import jax
@@ -78,7 +79,9 @@ def main():
     fit_loss = (None if eval_dtype is None and opts.eval_backend == "xla"
                 else _plain_unit_loss(spec, eval_dtype=eval_dtype,
                                       backend=opts.eval_backend))
-    gen_step = make_sweep_gen_step(_plain_unit_loss(spec), cfg.const_opt_steps,
+    grad_be = "pallas_grad" if opts.grad_backend == "pallas" else "xla"
+    gen_step = make_sweep_gen_step(_plain_unit_loss(spec, backend=grad_be),
+                                   cfg.const_opt_steps,
                                    cfg.const_opt_lr, topk, group=1, n_data=2,
                                    fit_loss=fit_loss)
 

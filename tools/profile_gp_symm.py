@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--const_opt_steps", type=int, default=None)
     ap.add_argument("--eval_dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--eval_backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--grad_backend", default="xla", choices=["xla", "pallas"])
     opts = ap.parse_args()
 
     import jax
@@ -106,8 +107,9 @@ def main():
                 else _system_unit_loss(spec, args["w_sym_reg"], n_g,
                                        eval_dtype=eval_dtype,
                                        backend=opts.eval_backend))
+    grad_be = "pallas_grad" if opts.grad_backend == "pallas" else "xla"
     gen_step = make_sweep_gen_step(_system_unit_loss(spec, args["w_sym_reg"],
-                                                     n_g),
+                                                     n_g, backend=grad_be),
                                    cfg.const_opt_steps, cfg.const_opt_lr,
                                    topk, group=2, n_data=4,
                                    fit_loss=fit_loss)
