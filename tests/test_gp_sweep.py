@@ -296,3 +296,21 @@ def test_pallas_grad_kernel_matches_autodiff():
                                             spec.stack_depth, op_table=tbl,
                                             interpret=True))
     np.testing.assert_allclose(g_d, g_ref, rtol=1e-4, atol=1e-4)
+
+def test_gp_sweep_mesh_with_pallas_grad():
+    """--mesh_devices + --gp_grad_backend pallas: the custom-VJP kernel
+    composes with the shard_map-sharded unit axis (production combination)."""
+    from symmetry_ode_discovery_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    S, N = 3, 64
+    X = rng.standard_normal((S, N, 2)).astype(np.float32)
+    dX = np.stack([2.0 * X[..., 0], X[..., 1] - X[..., 0]], axis=-1)
+    spec = TapeSpec(n_vars=2, max_len=16, binary_ops=(ADD, SUB, MUL))
+    cfg = GPConfig(pop_size=128, n_generations=6, const_opt_steps=4, seed=0)
+    ps1, r1 = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1, 2],
+                             grad_backend="pallas")
+    ps8, r8 = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1, 2],
+                             mesh=make_mesh(8, axis="seed"),
+                             grad_backend="pallas")
+    np.testing.assert_allclose(r8.best_fit, r1.best_fit, rtol=1e-4)
