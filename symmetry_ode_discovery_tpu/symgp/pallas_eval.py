@@ -51,10 +51,11 @@ def _tape_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref, xt_ref,
                  out_ref, stack_ref):
     """One (TP tapes) x (TN rows) tile: run all L tape steps in VMEM.
 
-    ops/args/consts blocks are (L, TP, 1) — trailing singleton so the
-    per-step load `ref[l]` is already a sublane-major (TP, 1) tile that
-    broadcasts against (TP, TN) without a lane->sublane relayout (a (L, TP)
-    layout would load (TP,) lane-major vectors and transpose every step).
+    ops/args/consts blocks are (L, TP): memory-exact in VMEM (a trailing
+    (TP, 1) layout would pad the lane dim to the 128-wide tile, inflating
+    the three operand blocks ~128x and blowing the VMEM budget). The
+    per-step load `ref[l][:, None]` is a 1D->(TP, 1) relayout of TP
+    elements — noise next to the (TP, TN) stack selects.
     xt is (n_vars, TN); out (TP, TN); stack_ref scratch (D, TP, TN).
     """
     TP, TN = out_ref.shape
@@ -67,9 +68,9 @@ def _tape_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref, xt_ref,
 
     def step(l, carry):
         sp, bad = carry  # (TP, 1) int32 each
-        op = ops_ref[l]        # (TP, 1) int32
-        arg = args_ref[l]      # (TP, 1) int32
-        cval = consts_ref[l]   # (TP, 1)
+        op = ops_ref[l][:, None]        # (TP, 1) int32
+        arg = args_ref[l][:, None]      # (TP, 1) int32
+        cval = consts_ref[l][:, None]   # (TP, 1)
 
         ar = jnp.zeros_like(op)
         for code, a_c in zip(table, arity):
@@ -177,12 +178,12 @@ def eval_tapes_pallas(ops: jnp.ndarray, args: jnp.ndarray,
     Pp, Np = p_tiles * TP, n_tiles * TN
 
     # pad: extra tapes are all-PAD (out 0, bad False), extra rows are zeros
-    opsT = jnp.pad(ops, ((0, Pp - P), (0, 0))).T[:, :, None]   # (L, Pp, 1)
-    argsT = jnp.pad(args, ((0, Pp - P), (0, 0))).T[:, :, None]
-    constsT = jnp.pad(consts, ((0, Pp - P), (0, 0))).T.astype(X.dtype)[:, :, None]
+    opsT = jnp.pad(ops, ((0, Pp - P), (0, 0))).T          # (L, Pp)
+    argsT = jnp.pad(args, ((0, Pp - P), (0, 0))).T
+    constsT = jnp.pad(consts, ((0, Pp - P), (0, 0))).T.astype(X.dtype)
     XT = jnp.pad(X, ((0, Np - N), (0, 0))).T              # (n_vars, Np)
 
-    tape_spec = pl.BlockSpec((L, TP, 1), lambda i, j: (0, i, 0))
+    tape_spec = pl.BlockSpec((L, TP), lambda i, j: (0, i))
     out = pl.pallas_call(
         functools.partial(_tape_kernel, L, D, n_vars, table),
         grid=(p_tiles, n_tiles),
@@ -223,11 +224,11 @@ def _tape_grad_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref,
                       saved_ref, sps_ref):
     """One (TP tapes) x (TN rows) tile: forward replay + reverse sweep.
 
-    Blocks: ops/args/consts (L, TP, 1); xt (n_vars, TN); gbar (TP, TN);
-    gc out (L, TP, 1) accumulated over row tiles (grid dim j is innermost,
-    the block index map drops j, so the block stays VMEM-resident across
-    the row sweep). Scratch: stack/gstack (D, TP, TN), saved (L, TP, TN),
-    sps (L, TP, 1) int32.
+    Blocks: ops/args/consts (L, TP) — memory-exact, see _tape_kernel; xt
+    (n_vars, TN); gbar (TP, TN); gc out (L, TP) accumulated over row tiles
+    (grid dim j is innermost, the block index map drops j, so the block
+    stays VMEM-resident across the row sweep). Scratch: stack/gstack
+    (D, TP, TN), saved (L, TP, TN), sps (L, TP) int32.
     """
     TP, TN = gbar_ref.shape
     dtype = stack_ref.dtype
@@ -254,9 +255,9 @@ def _tape_grad_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref,
 
     def fstep(l, carry):
         sp, bad = carry  # (TP, 1) int32 each
-        op = ops_ref[l]
-        arg = args_ref[l]
-        cval = consts_ref[l]
+        op = ops_ref[l][:, None]
+        arg = args_ref[l][:, None]
+        cval = consts_ref[l][:, None]
         ar = op_arity(op)
 
         i1 = jnp.clip(sp - 1, 0, D - 1)
@@ -301,7 +302,7 @@ def _tape_grad_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref,
 
         write_idx = jnp.clip(sp - ar, 0, D - 1)
         live = op != PAD
-        sps_ref[l] = sp
+        sps_ref[l] = sp[:, 0]
         saved_ref[l] = read_slot(write_idx)
         for d in range(D):
             wmask = jnp.logical_and(write_idx == d, live)
@@ -326,14 +327,13 @@ def _tape_grad_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref,
     @pl.when(j == 0)
     def _():
         for l in range(L):
-            gc_ref[l] = jnp.zeros((TP, 1), dtype)
+            gc_ref[l] = jnp.zeros((TP,), dtype)
 
     # ---- reverse sweep
     def bstep(k, _):
         l = L - 1 - k
-        sp = sps_ref[l]
-        op = ops_ref[l]
-        arg = args_ref[l]
+        sp = sps_ref[l][:, None]
+        op = ops_ref[l][:, None]
         ar = op_arity(op)
         live = op != PAD
         write_idx = jnp.clip(sp - ar, 0, D - 1)
@@ -386,8 +386,7 @@ def _tape_grad_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref,
                 gb = jnp.where(op == code, pb, gb)
 
         # constant-slot gradient: row-sum of g_res where this step is CONST
-        gc_row = jnp.sum(jnp.where(op == CONST, g_res, 0.0), axis=1,
-                         keepdims=True)
+        gc_row = jnp.sum(jnp.where(op == CONST, g_res, 0.0), axis=1)
         gc_ref[l] = gc_ref[l] + gc_row
 
         # push operand gradients (unary reads i1; binary reads i1 and i2)
@@ -432,14 +431,14 @@ def eval_tapes_pallas_grad(ops: jnp.ndarray, args: jnp.ndarray,
     n_tiles = -(-N // TN)
     Pp, Np = p_tiles * TP, n_tiles * TN
 
-    opsT = jnp.pad(ops, ((0, Pp - P), (0, 0))).T[:, :, None]   # (L, Pp, 1)
-    argsT = jnp.pad(args, ((0, Pp - P), (0, 0))).T[:, :, None]
-    constsT = jnp.pad(consts, ((0, Pp - P), (0, 0))).T.astype(X.dtype)[:, :, None]
-    XT = jnp.pad(X, ((0, Np - N), (0, 0))).T                   # (n_vars, Np)
+    opsT = jnp.pad(ops, ((0, Pp - P), (0, 0))).T          # (L, Pp)
+    argsT = jnp.pad(args, ((0, Pp - P), (0, 0))).T
+    constsT = jnp.pad(consts, ((0, Pp - P), (0, 0))).T.astype(X.dtype)
+    XT = jnp.pad(X, ((0, Np - N), (0, 0))).T              # (n_vars, Np)
     # padded rows/tapes contribute exactly 0: their gbar is 0
     gbarP = jnp.pad(gbar.astype(X.dtype), ((0, Pp - P), (0, Np - N)))
 
-    tape_spec = pl.BlockSpec((L, TP, 1), lambda i, j: (0, i, 0))
+    tape_spec = pl.BlockSpec((L, TP), lambda i, j: (0, i))
     gc = pl.pallas_call(
         functools.partial(_tape_grad_kernel, L, D, n_vars, table),
         grid=(p_tiles, n_tiles),
@@ -447,14 +446,14 @@ def eval_tapes_pallas_grad(ops: jnp.ndarray, args: jnp.ndarray,
                   pl.BlockSpec((n_vars, TN), lambda i, j: (0, j)),
                   pl.BlockSpec((TP, TN), lambda i, j: (i, j))],
         out_specs=tape_spec,
-        out_shape=jax.ShapeDtypeStruct((L, Pp, 1), X.dtype),
+        out_shape=jax.ShapeDtypeStruct((L, Pp), X.dtype),
         scratch_shapes=[pltpu.VMEM((D, TP, TN), X.dtype),
                         pltpu.VMEM((D, TP, TN), X.dtype),
                         pltpu.VMEM((L, TP, TN), X.dtype),
-                        pltpu.VMEM((L, TP, 1), jnp.int32)],
+                        pltpu.VMEM((L, TP), jnp.int32)],
         interpret=interpret,
     )(opsT, argsT, constsT, XT, gbarP)
-    return gc[:, :P, 0].T
+    return gc[:, :P].T
 
 
 def make_diff_eval_pallas(stack_depth: int,
