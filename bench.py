@@ -18,13 +18,41 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """Check the device backend is reachable from a THROWAWAY subprocess.
+
+    A full axon-tunnel outage makes backend init block inside the PJRT
+    client (a C++ call SIGALRM can't interrupt), so a hung `jax.devices()`
+    in-process would stall the whole bench forever. The subprocess probe
+    turns that failure mode into a fast, reportable error.
+    """
+    code = ("import jax; jax.devices(); import jax.numpy as jnp; "
+            "(jnp.ones((8,8)) @ jnp.ones((8,8))).block_until_ready()")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        print(json.dumps({
+            "metric": "lv_sindy_plus_growth_esindy_50seed_sweeps_wallclock",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": "device backend unreachable (axon tunnel down): "
+                     "backend-init probe subprocess hung/failed",
+        }))
+        return 1
+
     import jax
 
     from symmetry_ode_discovery_tpu.data.datasets import ODEDataset
