@@ -174,17 +174,17 @@ def _load_native():
         lib = ctypes.CDLL(so)
     except OSError:
         return None
-    lib.breed.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-        ctypes.c_float, ctypes.c_ulonglong,
-    ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    ptrs = [i32p, i32p, f32p, f32p, i32p, i32p, f32p]
+    tail = [ctypes.c_int, ctypes.c_int,               # tournament, elitism
+            ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            i32p, ctypes.c_int, i32p, ctypes.c_int,
+            ctypes.c_float, ctypes.c_ulonglong]
+    lib.breed.argtypes = ptrs + [ctypes.c_int, ctypes.c_int] + tail  # P, L
+    if hasattr(lib, "breed_grouped"):  # absent only in a stale prebuilt .so
+        lib.breed_grouped.argtypes = (
+            ptrs + [ctypes.c_int] * 3 + tail)  # n_groups, group, L
     return lib
 
 
@@ -204,36 +204,41 @@ def get_native():
     return _NATIVE
 
 
-def breed(population, fitness, rng, spec: TapeSpec, cfg: GPConfig):
-    if get_native() is None:
-        return breed_numpy(population, fitness, rng, spec, cfg)
-
+def call_native_breed(fn, population, fitness, dims, rng, spec: TapeSpec,
+                      cfg: GPConfig):
+    """Shared ctypes marshalling for `breed` / `breed_grouped` (identical
+    pointer layout and config tail; `dims` carries the per-entry-point
+    integer dims — (P, L) or (n_groups, group, L))."""
     import ctypes
 
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
     ops, args, consts = (np.ascontiguousarray(x) for x in population)
-    P, L = ops.shape
     out_ops = np.zeros_like(ops)
     out_args = np.zeros_like(args)
     out_consts = np.zeros_like(consts)
-    fit = np.ascontiguousarray(fitness.astype(np.float32))
+    fit = np.ascontiguousarray(np.asarray(fitness, np.float32))
     bins = np.asarray(list(spec.binary_ops), np.int32)
     uns = np.asarray(list(spec.unary_ops) or [0], np.int32)
-    get_native().breed(
-        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        args.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        consts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        fit.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out_ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        out_args.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        out_consts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        P, L, cfg.tournament_size,
-        cfg.elitism, cfg.p_crossover, cfg.p_mutate, spec.n_vars,
-        bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(bins),
-        uns.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(spec.unary_ops),
-        spec.const_range, int(rng.integers(2 ** 63)),
-    )
+    fn(ops.ctypes.data_as(i32p), args.ctypes.data_as(i32p),
+       consts.ctypes.data_as(f32p), fit.ctypes.data_as(f32p),
+       out_ops.ctypes.data_as(i32p), out_args.ctypes.data_as(i32p),
+       out_consts.ctypes.data_as(f32p),
+       *dims, cfg.tournament_size, cfg.elitism,
+       cfg.p_crossover, cfg.p_mutate, spec.n_vars,
+       bins.ctypes.data_as(i32p), len(bins),
+       uns.ctypes.data_as(i32p), len(spec.unary_ops),
+       spec.const_range, int(rng.integers(2 ** 63)))
     return out_ops, out_args, out_consts
+
+
+def breed(population, fitness, rng, spec: TapeSpec, cfg: GPConfig):
+    lib = get_native()
+    if lib is None:
+        return breed_numpy(population, fitness, rng, spec, cfg)
+    P, L = population[0].shape
+    return call_native_breed(lib.breed, population, fitness, (P, L),
+                             rng, spec, cfg)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,10 @@ int subtree_start(const int32_t* ops, int i) {
 Tape random_tape(std::mt19937_64& rng, int L, int n_vars, const int32_t* bins,
                  int n_bins, const int32_t* uns, int n_uns, float const_range,
                  int target_len) {
+  // mirror tape.py random_tape: a target beyond the tape capacity would
+  // grow a valid program longer than L that resize(L) then truncates into
+  // a malformed postfix prefix
+  if (target_len > L) target_len = L;
   std::uniform_real_distribution<float> unif(0.f, 1.f);
   std::uniform_real_distribution<float> crange(-const_range, const_range);
   Tape t;

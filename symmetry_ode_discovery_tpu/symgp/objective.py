@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .tape import TapeSpec, eval_tapes, spec_op_table, tape_length
+from .tape import TapeSpec, tape_length
 
 
 def make_symmreg_fitness(
@@ -49,29 +49,19 @@ def make_symmreg_fitness(
     d = X.shape[1]
     assert d == 2, "two-component objective (reference main_pysr.py:88)"
     n_g = len(gx_list)
-    # stack the evaluation points: x plus every g_i(x)
-    all_pts = jnp.concatenate([X] + [g for g in gx_list], axis=0)  # ((1+n_g) N, d)
     N = X.shape[0]
-    Jg = jnp.stack(Jgx_list) if n_g else None  # (n_g, N, d, d)
+    # one implementation of the symmreg math: the sweep's per-unit loss,
+    # with this problem's data closed over (single-unit specialization)
+    from .sweep import _system_unit_loss
+
+    unit = _system_unit_loss(spec, w_sym_reg, n_g,
+                             reference_bug_compat=reference_bug_compat)
+    gx = (jnp.stack(gx_list) if n_g else jnp.zeros((0, N, d), X.dtype))
+    Jg = (jnp.stack(Jgx_list) if n_g else jnp.zeros((0, N, d, d), X.dtype))
 
     def device_loss(ops, args, consts):
-        # ops: (2P, L) interleaved components
-        preds = eval_tapes(ops, args, consts, all_pts, spec.stack_depth,
-                           op_table=spec_op_table(spec))
-        P2 = preds.shape[0]
-        preds = preds.reshape(P2 // 2, 2, -1)  # (P, 2, (1+n_g) N)
-        h_x = preds[:, :, :N]  # (P, 2, N)
-        mse = jnp.mean((jnp.swapaxes(h_x, 1, 2) - dX[None]) ** 2, axis=(1, 2))
-        loss = mse
-        for i in range(n_g):
-            h_gx = preds[:, :, (1 + i) * N:(2 + i) * N]  # (P, 2, N)
-            if reference_bug_compat:
-                lhs = jnp.einsum("nij,pjn->pin", Jg[i], h_gx)
-            else:
-                lhs = jnp.einsum("nij,pjn->pin", Jg[i], h_x)
-            diff = lhs - h_gx
-            loss = loss + w_sym_reg * jnp.mean(diff ** 2, axis=(1, 2))
-        return jnp.where(jnp.isfinite(loss), loss, jnp.inf)
+        # ops: (2P, L) interleaved components -> (P,)
+        return unit(ops, args, consts, X, dX, gx, Jg)
 
     jit_loss = jax.jit(device_loss)
 
@@ -96,57 +86,17 @@ def paired_breed(population, fitness_P, rng, spec: TapeSpec, cfg):
     """Breed pair-coherent groups: selection/crossover partners are whole
     (h1, h2) systems; variation applies per component. C++ core
     (breed_grouped) with a numpy fallback."""
-    from .evolve import get_native, _splice, _mutate
+    from .evolve import call_native_breed, get_native, _splice, _mutate
 
     ops, args, consts = population
     n_groups = ops.shape[0] // 2
     lib = get_native()
-    if lib is not None:
-        import ctypes
-
-        try:
-            grouped = lib.breed_grouped
-        except AttributeError:
-            # stale prebuilt binary without breed_grouped: numpy fallback
-            lib = None
-    if lib is not None:
-        if not hasattr(lib, "_grouped_bound"):
-            grouped.argtypes = [
-                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-                ctypes.c_float, ctypes.c_ulonglong,
-            ]
-            lib._grouped_bound = True
-        ops_c = np.ascontiguousarray(ops)
-        args_c = np.ascontiguousarray(args)
-        consts_c = np.ascontiguousarray(consts)
-        fit = np.ascontiguousarray(fitness_P.astype(np.float32))
-        out_ops = np.zeros_like(ops_c)
-        out_args = np.zeros_like(args_c)
-        out_consts = np.zeros_like(consts_c)
-        bins = np.asarray(list(spec.binary_ops), np.int32)
-        uns = np.asarray(list(spec.unary_ops) or [0], np.int32)
-        grouped(
-            ops_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            args_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            consts_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            fit.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            out_ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out_args.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out_consts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            n_groups, 2, ops.shape[1], cfg.tournament_size, cfg.elitism,
-            cfg.p_crossover, cfg.p_mutate, spec.n_vars,
-            bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(bins),
-            uns.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            len(spec.unary_ops), spec.const_range, int(rng.integers(2 ** 63)),
-        )
-        return out_ops, out_args, out_consts
+    # breed_grouped is absent only in a stale prebuilt .so (argtypes are
+    # bound next to breed's in evolve._load_native) -> numpy fallback
+    grouped = getattr(lib, "breed_grouped", None) if lib is not None else None
+    if grouped is not None:
+        return call_native_breed(grouped, population, fitness_P,
+                                 (n_groups, 2, ops.shape[1]), rng, spec, cfg)
 
     # numpy fallback
     order = np.argsort(fitness_P)

@@ -219,9 +219,9 @@ def eval_tapes_pallas(ops: jnp.ndarray, args: jnp.ndarray,
 GRAD_ROW_TILE = 128
 
 
-def _tape_grad_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref,
-                      xt_ref, gbar_ref, gc_ref, stack_ref, gstack_ref,
-                      saved_ref, sps_ref):
+def _tape_grad_kernel(L, D, n_vars, N_valid, table, ops_ref, args_ref,
+                      consts_ref, xt_ref, gbar_ref, gc_ref, stack_ref,
+                      gstack_ref, saved_ref, sps_ref):
     """One (TP tapes) x (TN rows) tile: forward replay + reverse sweep.
 
     Blocks: ops/args/consts (L, TP) — memory-exact, see _tape_kernel; xt
@@ -233,6 +233,13 @@ def _tape_grad_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref,
     TP, TN = gbar_ref.shape
     dtype = stack_ref.dtype
     j = pl.program_id(1)
+
+    # zero-padded rows (global col >= N_valid) carry gbar=0, but a padded
+    # row whose replayed operand is inf/NaN at x=0 would turn the 0-cotangent
+    # product into NaN, and gc_row's row-sum folds that into the REAL
+    # gradient — mask their stack pushes to exactly 0
+    col = j * TN + jax.lax.broadcasted_iota(jnp.int32, (TP, TN), 1)
+    valid_cols = col < N_valid
 
     arity = [int(ARITY[code]) for code in table]
 
@@ -384,6 +391,8 @@ def _tape_grad_kernel(L, D, n_vars, table, ops_ref, args_ref, consts_ref,
                 ga = jnp.where(op == code, pa, ga)
             if pb is not None:
                 gb = jnp.where(op == code, pb, gb)
+        ga = jnp.where(valid_cols, ga, 0.0)
+        gb = jnp.where(valid_cols, gb, 0.0)
 
         # constant-slot gradient: row-sum of g_res where this step is CONST
         gc_row = jnp.sum(jnp.where(op == CONST, g_res, 0.0), axis=1)
@@ -440,7 +449,7 @@ def eval_tapes_pallas_grad(ops: jnp.ndarray, args: jnp.ndarray,
 
     tape_spec = pl.BlockSpec((L, TP), lambda i, j: (0, i))
     gc = pl.pallas_call(
-        functools.partial(_tape_grad_kernel, L, D, n_vars, table),
+        functools.partial(_tape_grad_kernel, L, D, n_vars, N, table),
         grid=(p_tiles, n_tiles),
         in_specs=[tape_spec, tape_spec, tape_spec,
                   pl.BlockSpec((n_vars, TN), lambda i, j: (0, j)),

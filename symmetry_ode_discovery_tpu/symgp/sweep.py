@@ -267,7 +267,10 @@ def _run_sweep(populations, data_arrays, unit_loss, spec, cfg: GPConfig,
         score = np.asarray(base) if select == "raw" else fit
         for u in range(U):
             i = int(np.argmin(score[u]))
-            if score[u, i] < best_fit[u]:
+            # "or best is None": a unit whose every score is inf/NaN (e.g. a
+            # corrupt data row) must still record SOME tape, or the per-seed
+            # unpacking in gp_sweep_plain/system crashes after the whole sweep
+            if best[u] is None or score[u, i] < best_fit[u]:
                 best_fit[u] = float(score[u, i])
                 rows = slice(group * i, group * (i + 1))
                 best[u] = (ops[u, rows].copy(), args[u, rows].copy(),
@@ -346,10 +349,14 @@ def gp_sweep_plain(
     y_u = jnp.asarray(np.stack([dX_all[s, :, dim]
                                 for s in range(S) for dim in range(d)]))
     k = min(N, const_subsample)  # rows are already a random subsample
-    fit_loss = (None if eval_dtype is None and eval_backend == "xla"
+    grad_be = "pallas_grad" if grad_backend == "pallas" else "xla"
+    # fit_loss=None falls back to the GRAD loss for fitness — only valid
+    # when that loss's forward is exactly the requested fitness evaluator
+    # (grad_backend pallas makes its forward the Pallas kernel)
+    grad_fwd = "pallas" if grad_backend == "pallas" else "xla"
+    fit_loss = (None if eval_dtype is None and eval_backend == grad_fwd
                 else _plain_unit_loss(spec, eval_dtype=eval_dtype,
                                       backend=eval_backend))
-    grad_be = "pallas_grad" if grad_backend == "pallas" else "xla"
     res = _run_sweep((ops, args, consts), (X_u, y_u),
                      _plain_unit_loss(spec, backend=grad_be), spec, cfg,
                      rngs, group=1,
@@ -406,11 +413,12 @@ def gp_sweep_system(
     k = min(N, const_subsample)  # rows are already a random subsample
     data_small = (data[0][:, :k], data[1][:, :k],
                   data[2][:, :, :k], data[3][:, :, :k])
-    fit_loss = (None if eval_dtype is None and eval_backend == "xla"
+    grad_be = "pallas_grad" if grad_backend == "pallas" else "xla"
+    grad_fwd = "pallas" if grad_backend == "pallas" else "xla"  # see gp_sweep_plain
+    fit_loss = (None if eval_dtype is None and eval_backend == grad_fwd
                 else _system_unit_loss(spec, w_sym_reg, n_g,
                                        eval_dtype=eval_dtype,
                                        backend=eval_backend))
-    grad_be = "pallas_grad" if grad_backend == "pallas" else "xla"
     res = _run_sweep((ops, args, consts), data,
                      _system_unit_loss(spec, w_sym_reg, n_g,
                                        backend=grad_be), spec, cfg,

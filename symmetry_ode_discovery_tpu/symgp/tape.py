@@ -278,7 +278,12 @@ def tape_to_string(op_row: np.ndarray, arg_row: np.ndarray, const_row: np.ndarra
             if len(stack) < 1:
                 return "<invalid>"
             a = stack.pop()
-            stack.append(f"{OP_NAMES[op]}({a})")
+            if op == NEG:
+                # standard notation so sympify (eval_gp form projection)
+                # parses it; "neg(x)" would become an undefined Function
+                stack.append(f"(-{a})")
+            else:
+                stack.append(f"{OP_NAMES[op]}({a})")
     return stack[-1] if len(stack) == 1 else "<invalid>"
 
 

@@ -314,3 +314,45 @@ def test_gp_sweep_mesh_with_pallas_grad():
                              mesh=make_mesh(8, axis="seed"),
                              grad_backend="pallas")
     np.testing.assert_allclose(r8.best_fit, r1.best_fit, rtol=1e-4)
+
+
+def test_pallas_grad_padded_rows_no_nan_poisoning():
+    """Row padding to the lane tile must not poison gradients: a tape that
+    overflows to inf AT x=0 (the pad value) but is finite on the real rows
+    gets a 0-cotangent * inf = NaN in the padded columns of the backward;
+    the kernel must mask those, matching jax.grad of the XLA interpreter
+    (which only ever sees the real rows)."""
+    from symmetry_ode_discovery_tpu.symgp.pallas_eval import (
+        eval_tapes_pallas_grad)
+    from symmetry_ode_discovery_tpu.symgp.tape import (
+        CONST, EXP, VAR, eval_tapes)
+
+    # exp(x0+35)^4: at real rows (x0 ~ -30) ~ e^20, finite; at x0=0 the
+    # LAST multiply's b-operand is already inf (e^105), so its backward
+    # partial is 0-cotangent * inf = NaN in the padded columns
+    ops = np.array([[VAR, CONST, ADD, EXP, VAR, CONST, ADD, EXP, MUL,
+                     VAR, CONST, ADD, EXP, MUL,
+                     VAR, CONST, ADD, EXP, MUL, 0]], np.int32)
+    args = np.zeros_like(ops)
+    consts = np.zeros((1, 20), np.float32)
+    consts[0, [1, 5, 10, 15]] = 35.0
+    rng = np.random.default_rng(0)
+    N = 100  # < the 128 row tile -> 28 zero-padded columns
+    X = np.stack([rng.uniform(-31.0, -29.0, N),
+                  rng.standard_normal(N)], axis=1).astype(np.float32)
+    y = rng.standard_normal((1, N)).astype(np.float32)
+    tbl = (0, 1, 2, ADD, MUL, EXP)
+    opsj, argsj = jnp.asarray(ops), jnp.asarray(args)
+    cj, Xj, yj = jnp.asarray(consts), jnp.asarray(X), jnp.asarray(y)
+
+    p = eval_tapes(opsj, argsj, cj, Xj, 8, op_table=tbl)
+    assert np.isfinite(np.asarray(p)).all()
+
+    def loss_ref(c):
+        return jnp.sum(eval_tapes(opsj, argsj, c, Xj, 8, op_table=tbl) * yj)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(cj))
+    g_k = np.asarray(eval_tapes_pallas_grad(opsj, argsj, cj, Xj, yj, 8,
+                                            op_table=tbl, interpret=True))
+    assert np.isfinite(g_k).all(), g_k
+    np.testing.assert_allclose(g_k, g_ref, rtol=1e-4, atol=1e-4)

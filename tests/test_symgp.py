@@ -166,3 +166,36 @@ def test_deep_tape_overflow_is_nan_not_garbage():
                                   jnp.asarray(consts), jnp.asarray(X),
                                   stack_depth=32))
     np.testing.assert_allclose(out32, np.sum(np.arange(1, n_push + 1)))
+
+
+def test_breeding_valid_at_tiny_max_len_both_backends():
+    """max_len smaller than mutate's fresh-individual target draw (up to 9):
+    random_tape must clamp the target to the capacity in BOTH breeders, or
+    the C++ core truncates grown-valid programs into malformed postfix."""
+    rng = np.random.default_rng(5)
+    spec = TapeSpec(n_vars=2, max_len=6)
+    cfg = GPConfig(pop_size=64, p_mutate=1.0)  # force heavy mutation
+    pop = random_population(rng, spec, 64)
+    assert tape_valid(pop[0]).all()
+    for fn in (breed_numpy, breed):
+        out = pop
+        for it in range(10):  # many rounds so fresh/subtree branches fire
+            fit = np.asarray(np.random.default_rng(it).random(64), np.float32)
+            out = fn(out, fit, np.random.default_rng(100 + it), spec, cfg)
+            assert tape_valid(out[0]).all(), (fn.__name__, it)
+
+
+def test_tape_to_string_neg_is_sympy_parseable():
+    """NEG must render as standard notation: 'neg(x)' would sympify into an
+    undefined Function and every NEG equation would be scored off-library."""
+    import sympy as sp
+
+    from symmetry_ode_discovery_tpu.symgp.tape import NEG
+
+    ops = np.array([VAR, NEG, CONST, ADD, PAD, PAD], np.int32)
+    args = np.zeros(6, np.int32)
+    consts = np.zeros(6, np.float32)
+    consts[2] = 2.5
+    s = tape_to_string(ops, args, consts)
+    x0 = sp.Symbol("x0")
+    assert sp.simplify(sp.sympify(s) - (-x0 + 2.5)) == 0
