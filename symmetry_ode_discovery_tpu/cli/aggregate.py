@@ -35,19 +35,11 @@ def main(argv=None):
     # notebook variant (eval_results.ipynb cell 2)
     import os
 
-    directory = os.path.join(args.result_dir, args.run_name)
-    cf, mse, cf_all, mse_all = [], [], [], []
-    for filename in os.listdir(directory):
-        if not filename.endswith(".npz"):
-            continue
-        seed = int(filename.split(".")[0][4:])
-        if seed >= args.max_seed or seed < args.min_seed:
-            continue
-        res = np.load(os.path.join(directory, filename))
-        cf.append(res["correct_form"])
-        mse.append(res["mse"])
-        cf_all.append(res["correct_form_all"])
-        mse_all.append(res["mse_all"])
+    from ..evaluation.eval_eq import load_seed_results
+
+    cf, mse, cf_all, mse_all = load_seed_results(
+        os.path.join(args.result_dir, args.run_name),
+        args.min_seed, args.max_seed)
     cf = np.stack(cf)
     cf_all = np.asarray(cf_all)
     n = cf.shape[0]

@@ -52,7 +52,8 @@ def ltp_sweep_errors(cfg, coefs, x, dt):
         def fwd(q):
             return cfg.library(q) @ coef.T
 
-        x_pred = odeint(fwd, x[:, 0], t_max, dt, method="rk4", full_traj=True)
+        x_pred = odeint(fwd, x[:, 0], t_max, dt, method="rk4",
+                        full_traj=True, num_steps=n_steps - 1)
         x_pred = x_pred.transpose(1, 0, 2)  # (n_ics, n_steps-1, d)
         err = jnp.mean((x[:, 1:] - x_pred) ** 2, axis=-1)
         return err / scale[:, None]
@@ -136,6 +137,14 @@ def run(args: dict) -> dict:
 
 
 def main(argv=None):
+    # LTP eval is small dense work that runs fine on CPU — pin it there so
+    # the documented invocation never contends for the single TPU chip
+    # during sweeps (and never blocks at backend init in a tunnel outage).
+    # Must go through jax.config BEFORE first device use: the image's
+    # sitecustomize pins JAX_PLATFORMS to the axon TPU at interpreter start.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from ..utils.config import get_args
 
     return run(vars(get_args(argv)))

@@ -265,6 +265,32 @@ def run(args: dict) -> dict:
 
     n_seeds = args.get("n_seeds", 1)
     truth = sindy_truth.get(args["task"])
+
+    def build_stepper():
+        # host-stepped symreg driver, shared by the sweep and single-seed
+        # branches (a fused multi-minute device program trips the watchdog)
+        from ..training.siged import make_lbfgs_stepper
+
+        Qj = jnp.asarray(Q) if Q is not None else None
+        epc = max(1, min(args.get("epochs_per_call", 10), hp.num_epochs))
+        return epc, make_lbfgs_stepper(
+            cfg, Qj, hp, sym_reg_fn, sym_reg_prep=sym_reg_prep,
+            epochs_per_call=epc,
+            # the Pallas-fused penalty keeps its own tiny residuals;
+            # checkpointing would just re-run the kernels
+            remat=False if use_pallas else None)
+
+    def host_epochs(step_j, carry, epc):
+        for e in range(0, hp.num_epochs, epc):
+            carry = step_j(carry, e)
+            # identical protocol, shorter wall clock: a done seed's updates
+            # are frozen inside the epoch body, so once every lane is done
+            # the remaining epochs are no-ops — skip them. The scalar fetch
+            # also drains the async queue once per host step.
+            if bool(np.asarray(carry["done"]).all()):
+                break
+        return carry
+
     if n_seeds > 1:
         plain = (sym_reg_fn is None and not args["use_latent"]
                  and not args["distill_latent"])
@@ -283,20 +309,10 @@ def run(args: dict) -> dict:
             return {"Xi": res.Xi, "mask": res.mask}
         seeds = jnp.arange(seed, seed + n_seeds)
         if sym_reg_fn is not None and not args["use_latent"]:
-            # Symmetry-regularized sweep: host-stepped epochs (a fused
-            # 100-epoch program with the symreg autodiff graph exceeds the TPU
-            # runtime watchdog) in HBM-sized seed chunks; every jitted piece
-            # is compiled once and reused across chunks.
-            from ..training.siged import make_lbfgs_stepper
-
-            Qj = jnp.asarray(Q) if Q is not None else None
-            epc = max(1, min(args.get("epochs_per_call", 10), hp.num_epochs))
-            init_f, step_f, extract_f = make_lbfgs_stepper(
-                cfg, Qj, hp, sym_reg_fn, sym_reg_prep=sym_reg_prep,
-                epochs_per_call=epc,
-                # the Pallas-fused penalty keeps its own tiny residuals;
-                # checkpointing would just re-run the kernels
-                remat=False if use_pallas else None)
+            # Symmetry-regularized sweep: host-stepped epochs in HBM-sized
+            # seed chunks; every jitted piece is compiled once and reused
+            # across chunks.
+            epc, (init_f, step_f, extract_f) = build_stepper()
 
             def prep_seed(s):
                 kk = jax.random.fold_in(jax.random.PRNGKey(0), s)
@@ -343,17 +359,7 @@ def run(args: dict) -> dict:
 
                 def run_chunk():
                     xs, dxs, keys = prep_j(sub)
-                    carry = init_j(xs, dxs, keys)
-                    for e in range(0, hp.num_epochs, epc):
-                        carry = step_j(carry, e)
-                        # identical protocol, shorter wall clock: a done
-                        # seed's updates are frozen inside the epoch body, so
-                        # once every lane is done the remaining epochs are
-                        # no-ops — skip them. The scalar fetch also drains the
-                        # async queue once per host step (the symgp
-                        # make_gen_step pattern).
-                        if bool(np.asarray(carry["done"]).all()):
-                            break
+                    carry = host_epochs(step_j, init_j(xs, dxs, keys), epc)
                     return ext_j(carry)
 
                 try:
@@ -374,6 +380,12 @@ def run(args: dict) -> dict:
             mask = jnp.asarray(np.stack(
                 [(done_xi[s] != 0) if s in done_xi else ran[s][1]
                  for s in range(seed, seed + n_seeds)]))
+            # eval npzs were persisted per chunk above — falling through
+            # would re-evaluate and re-save every seed (including resumed
+            # ones, whose reconstructed coefficients!=0 mask may differ from
+            # the run's actual mask)
+            print(f"Swept {n_seeds} seeds -> eval_results/{args['save_dir']}")
+            return {"Xi": np.asarray(Xi), "mask": np.asarray(mask)}
         elif args["use_latent"]:
             sweep_fn = jax.jit(jax.vmap(run_one))
             chunk = max(1, min(n_seeds, args.get("seed_chunk", 10)))
@@ -395,26 +407,25 @@ def run(args: dict) -> dict:
         return {"Xi": np.asarray(Xi), "mask": np.asarray(mask)}
 
     if sym_reg_fn is not None and not args["use_latent"]:
-        # single-seed symreg also goes through the host-stepped path (a fused
-        # multi-minute device program trips the runtime watchdog)
-        from ..training.siged import make_lbfgs_stepper
-
-        Qj = jnp.asarray(Q) if Q is not None else None
-        epc = max(1, min(args.get("epochs_per_call", 10), hp.num_epochs))
-        init_f, step_f, extract_f = make_lbfgs_stepper(
-            cfg, Qj, hp, sym_reg_fn, sym_reg_prep=sym_reg_prep,
-            epochs_per_call=epc,
-            remat=False if use_pallas else None)
+        # single-seed symreg also goes through the host-stepped path
+        epc, (init_f, step_f, extract_f) = build_stepper()
         kk = jax.random.fold_in(jax.random.PRNGKey(0), seed)
         kperm, kfit, _ = jax.random.split(kk, 3)
         idx = jax.random.permutation(kperm, n)[:k_batch]
-        carry = jax.jit(init_f)(x_all[idx], dx_all[idx], kfit)
-        step_j = jax.jit(step_f)
-        for e in range(0, hp.num_epochs, epc):
-            carry = step_j(carry, e)
-            if bool(np.asarray(carry["done"])):  # frozen past this point
-                break
-        Xi, mask = jax.jit(extract_f)(carry)
+        init_j, step_j, ext_j = (jax.jit(init_f), jax.jit(step_f),
+                                 jax.jit(extract_f))
+
+        def run_single():
+            carry = host_epochs(step_j, init_j(x_all[idx], dx_all[idx], kfit),
+                                epc)
+            return ext_j(carry)
+
+        try:
+            Xi, mask = run_single()
+        except jax.errors.JaxRuntimeError as e:
+            # same one-retry-on-worker-restart policy as the sweep chunks
+            print(f"device error ({type(e).__name__}); retrying once")
+            Xi, mask = run_single()
     else:
         Xi, mask = jax.jit(run_one)(jnp.asarray(seed))
     from ..models.sindy import SINDyState, equation_strings

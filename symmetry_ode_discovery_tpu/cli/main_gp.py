@@ -52,6 +52,11 @@ def run(args: dict) -> dict:
 
     gx_fn = None
     if args["pysr_symmreg"]:
+        if not args.get("load_laligan"):
+            raise ValueError(
+                "--pysr_symmreg needs a trained LaLiGAN checkpoint: pass "
+                "--load_laligan <run_name> (the symmetry-regularized GP "
+                "objective is meaningless without learned g(x)/J_g(x))")
         ae_def, gspec, _ = build_models(args)
         k = jax.random.PRNGKey(0)
         ae_params, ae_bstats = ae_def.init(k)
@@ -137,7 +142,16 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
     seeds = [s for s in range(seed0, seed0 + n_seeds) if s not in done_seeds]
     chunk = max(1, args.get("seed_chunk", 10))
     task = args["task"]
-    results = []
+    # results keyed by seed so the return value covers resumed seeds too
+    # (their equations reload from the saved txt artifacts)
+    eq_name = ("equation_seed{}.txt" if args["pysr_symmreg"]
+               else "equations_seed{}.txt")
+    results = {}
+    for s in done_seeds:
+        p = f"{save_dir}/{eq_name.format(s)}"
+        if os.path.exists(p):
+            with open(p) as f:
+                results[s] = f.read().strip().splitlines()
 
     # Sweep-mode fitness batching (reference --pysr_bs analog): the per-seed
     # protocol subsample can reach 10^4 rows (lv/selkov); cap the rows the
@@ -148,18 +162,6 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
 
     for lo in range(0, len(seeds), chunk):
         sub_seeds = seeds[lo:lo + chunk]
-        xs, dxs, gxs, Jgs = [], [], [], []
-        for seed in sub_seeds:
-            rng = np.random.default_rng(seed)
-            idx = rng.choice(len(x_all), subsample_size, replace=False)[:fit_rows]
-            xs.append(x_all[idx])
-            dxs.append(dx_all[idx])
-            if args["pysr_symmreg"]:
-                gx_list, Jgx_list = gx_fn(x_all[idx])
-                gxs.append(np.stack([np.asarray(g) for g in gx_list]))
-                Jgs.append(np.stack([np.asarray(J) for J in Jgx_list]))
-        X = np.stack(xs)
-        dX = np.stack(dxs)
         cfg = GPConfig(pop_size=args.get("pysr_bs", 1000),
                        n_generations=args.get("gp_generations", 40),
                        seed=seed0)
@@ -180,6 +182,22 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
         grad_backend = args.get("gp_grad_backend", "xla")
 
         def run_chunk():
+            # per-seed subsample + the (g(x), J_g(x)) TPU precompute live
+            # INSIDE the retry: a worker restart during the precompute must
+            # be retried like one during the sweep itself
+            xs, dxs, gxs, Jgs = [], [], [], []
+            for seed in sub_seeds:
+                rng = np.random.default_rng(seed)
+                idx = rng.choice(len(x_all), subsample_size,
+                                 replace=False)[:fit_rows]
+                xs.append(x_all[idx])
+                dxs.append(dx_all[idx])
+                if args["pysr_symmreg"]:
+                    gx_list, Jgx_list = gx_fn(x_all[idx])
+                    gxs.append(np.stack([np.asarray(g) for g in gx_list]))
+                    Jgs.append(np.stack([np.asarray(J) for J in Jgx_list]))
+            X = np.stack(xs)
+            dX = np.stack(dxs)
             if args["pysr_symmreg"]:
                 per_seed, _ = gp_sweep_system(
                     X, dX, spec, cfg, sub_seeds,
@@ -218,11 +236,13 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
             res = eval_gp_equations(eqs, task,
                                     threshold=min(args["threshold"], 0.05))
             save_eval_results(res, args["save_dir"], seed)
-            results.append(eqs)
+            results[seed] = eqs
             print(f"seed {seed}: correct_form={res['correct_form']}  "
                   + "  ".join(f"dx{i}={e}" for i, e in enumerate(eqs)))
-    print(f"Swept {n_seeds} GP seeds -> eval_results/{args['save_dir']}")
-    return {"equations": results}
+    print(f"Swept {len(seeds)} GP seeds ({len(done_seeds)} resumed) -> "
+          f"eval_results/{args['save_dir']}")
+    return {"equations": [results.get(s)
+                          for s in range(seed0, seed0 + n_seeds)]}
 
 
 def main(argv=None):

@@ -75,6 +75,30 @@ def save_eval_results(results: dict, save_dir: str, seed: int, root: str = "eval
     np.savez(os.path.join(out, f"seed{seed}.npz"), **results)
 
 
+def load_seed_results(directory: str, min_seed: int = 0, max_seed: int = 100):
+    """Load seed{N}.npz results from a run directory (reference
+    eval_eq.py:43-51 loading loop). Only strict seed{N}.npz names count —
+    a stray summary/backup .npz in the dir must not abort aggregation.
+
+    Returns (correct_form, mse, correct_form_all, mse_all) lists."""
+    cf, mse, cf_all, mse_all = [], [], [], []
+    for filename in os.listdir(directory):
+        if not (filename.startswith("seed") and filename.endswith(".npz")):
+            continue
+        stem = filename.split(".")[0][4:]
+        if not stem.isdigit():
+            continue
+        seed = int(stem)
+        if seed >= max_seed or seed < min_seed:
+            continue
+        res = np.load(os.path.join(directory, filename))
+        cf.append(res["correct_form"])
+        mse.append(res["mse"])
+        cf_all.append(res["correct_form_all"])
+        mse_all.append(res["mse_all"])
+    return cf, mse, cf_all, mse_all
+
+
 def aggregate_results(
     run_name: Optional[str] = None,
     min_seed: int = 0,
@@ -92,18 +116,8 @@ def aggregate_results(
     """
     cf, mse, cf_all, mse_all = [], [], [], []
     if results_list is None:
-        directory = os.path.join(result_dir, run_name)
-        for filename in os.listdir(directory):
-            if not filename.endswith(".npz"):
-                continue
-            seed = int(filename.split(".")[0][4:])
-            if seed >= max_seed or seed < min_seed:
-                continue
-            res = np.load(os.path.join(directory, filename))
-            cf.append(res["correct_form"])
-            mse.append(res["mse"])
-            cf_all.append(res["correct_form_all"])
-            mse_all.append(res["mse_all"])
+        cf, mse, cf_all, mse_all = load_seed_results(
+            os.path.join(result_dir, run_name), min_seed, max_seed)
     else:
         for res in results_list:
             cf.append(res["correct_form"])

@@ -44,12 +44,14 @@ def eval_ltp_accuracy(
 
     if encode is not None:
         z0 = encode(x0)
-        z_pred = odeint(forward_fn, z0, t_max, dt, method="rk4", full_traj=True)
+        z_pred = odeint(forward_fn, z0, t_max, dt, method="rk4",
+                        full_traj=True, num_steps=n_steps)
         # (n_steps, n_ics, latent) -> decode each step
         x_pred = decode(z_pred.reshape(-1, z_pred.shape[-1]))
         x_pred = x_pred.reshape(n_steps, n_ics, n_dim).transpose(1, 0, 2)
     else:
-        x_pred = odeint(forward_fn, x0, t_max, dt, method="rk4", full_traj=True)
+        x_pred = odeint(forward_fn, x0, t_max, dt, method="rk4",
+                        full_traj=True, num_steps=n_steps)
         x_pred = x_pred.transpose(1, 0, 2)
 
     error = jnp.mean((x[:, 1:] - x_pred) ** 2, axis=-1)

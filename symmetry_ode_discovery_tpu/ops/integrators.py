@@ -39,14 +39,19 @@ def odeint(
     dt: float,
     method: str = "euler",
     full_traj: bool = False,
+    num_steps: int | None = None,
 ):
     """Integrate dx/dt = f(x) from x0 for n_steps = int(t / dt) steps.
 
     Semantics match reference model_utils.py:223-255: returns the final state,
     or the stacked trajectory of the n_steps states AFTER each step (the
     initial state is not included) when full_traj=True.
+
+    num_steps: explicit step count override. Callers that know the step
+    count should pass it: deriving it from t = n*dt float-truncates for many
+    (n, dt) pairs (e.g. int((43*0.2)/0.2) == 42).
     """
-    n_steps = int(t / dt)
+    n_steps = int(t / dt) if num_steps is None else num_steps
     step = _euler_step if method == "euler" else _rk4_step
     if method not in ("euler", "rk4"):
         raise ValueError("Unrecognized ODEInt method.")

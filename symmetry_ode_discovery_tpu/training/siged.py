@@ -481,8 +481,17 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
         state = {k: v for k, v in carry.items() if k not in aux}
 
         def body(st, e):
-            return _lbfgs_epoch_update(opt, hp, xi_of, loss_fn, st, e,
-                                       remat=remat), None
+            # epochs past the protocol budget are no-ops (the host driver's
+            # last call may overshoot when num_epochs % epochs_per_call != 0
+            # — without this, extra thresholding rounds silently change the
+            # sweep statistics): borrow the done-lane freeze, then restore
+            # the true done flag (an over-budget epoch is not a convergence)
+            live = e < hp.num_epochs
+            st_in = dict(st, done=jnp.logical_or(st["done"], ~live))
+            new = _lbfgs_epoch_update(opt, hp, xi_of, loss_fn, st_in, e,
+                                      remat=remat)
+            new["done"] = jnp.where(live, new["done"], st["done"])
+            return new, None
 
         state, _ = jax.lax.scan(body, state,
                                 epoch0 + jnp.arange(epochs_per_call))

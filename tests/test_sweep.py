@@ -124,3 +124,32 @@ def test_wsindy_sweep():
                        threshold=5e-2, num_test_funcs=25)
     # all seeds should recover the form on clean data
     assert res.correct_form.all(), res.Xi
+
+
+def test_stepper_epoch_budget_no_overshoot():
+    """num_epochs % epochs_per_call != 0: the host driver's last step_f call
+    overshoots the protocol budget; the over-budget epochs must be no-ops
+    (extra L-BFGS iterations and st_freq thresholding rounds would silently
+    change sweep statistics). epc=2 over 3 epochs must bit-match epc=3."""
+    from symmetry_ode_discovery_tpu.training.siged import make_lbfgs_stepper
+
+    x, dx = _dosc(n_ics=8, steps=50)
+    xf, dxf = x.reshape(-1, 2), dx.reshape(-1, 2)
+    cfg, _ = make_config(2, poly_order=2)
+    hp = LBFGSHParams(num_epochs=3, inner_iters=4, lr_sindy=0.5,
+                      sindy_reg_type="none", st_freq=1, threshold=5e-2)
+    key = jax.random.PRNGKey(3)
+
+    def drive(epc):
+        init_f, step_f, extract_f = make_lbfgs_stepper(
+            cfg, None, hp, None, epochs_per_call=epc)
+        carry = jax.jit(init_f)(xf[:64], dxf[:64], key)
+        step_j = jax.jit(step_f)
+        for e in range(0, hp.num_epochs, epc):
+            carry = step_j(carry, e)
+        return jax.jit(extract_f)(carry)
+
+    Xi_exact, m_exact = drive(3)   # one call, no overshoot
+    Xi_over, m_over = drive(2)     # last call covers epochs [2, 3]
+    np.testing.assert_array_equal(np.asarray(m_over), np.asarray(m_exact))
+    np.testing.assert_array_equal(np.asarray(Xi_over), np.asarray(Xi_exact))
