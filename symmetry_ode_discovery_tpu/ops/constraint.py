@@ -98,7 +98,10 @@ def get_Q(
     for r in range(len(Sigma)):
         if abs(Sigma[-1 - r]) > sv_cutoff:
             break
-    Q = V[:, V.shape[1] - r:]
+    # r == 0 (full-rank constraint, no null space): the reference's
+    # V[:, -0:] slice returns ALL of V — it proceeds effectively
+    # unconstrained rather than collapsing Xi to zero; mirror that.
+    Q = V if r == 0 else V[:, V.shape[1] - r:]
     return np.asarray(Q, dtype=np.float32), use_kron
 
 
@@ -210,6 +213,11 @@ def get_Q_padded_jnp(W: jnp.ndarray, L: jnp.ndarray, sv_cutoff: float = 5e-3):
     _, S, Vt = jnp.linalg.svd(C_total, full_matrices=False)
     V = Vt.T
     col_mask = (S <= sv_cutoff).astype(L.dtype)  # S sorted desc -> trailing cols
+    # full-rank constraint (no null column): the reference's V[:, -0:] slice
+    # keeps ALL of V (effectively unconstrained) — zeroing every column here
+    # would instead silently collapse Xi to zero mid-training
+    col_mask = jnp.where(jnp.any(S <= sv_cutoff), col_mask,
+                         jnp.ones_like(col_mask))
     Q = V * col_mask[None, :]
     # Sylvester branch produced column-major rows; permute to row-major.
     perm = jnp.arange(d * p).reshape(p, d).T.reshape(-1)

@@ -39,9 +39,16 @@ from ..models.lie_generator import GeneratorSpec
 
 
 def bce(p, target):
-    """torch.nn.BCELoss on probabilities, with the log clamp torch applies."""
-    p = jnp.clip(p, 1e-12, 1 - 1e-7)
-    return -jnp.mean(target * jnp.log(p) + (1 - target) * jnp.log(1 - p))
+    """torch.nn.BCELoss on probabilities: the log output is clamped at -100
+    but the 1/p (resp. 1/(1-p)) gradient still flows in the saturated
+    regime — clipping p instead would zero the corrective gradient exactly
+    where GAN balance is fragile (a saturated discriminator could then
+    never be pushed back). Double-where so p == 0 stays NaN-free."""
+    def log100(q):
+        safe = jnp.where(q > 0, q, 1.0)
+        return jnp.where(q > 0, jnp.maximum(jnp.log(safe), -100.0), -100.0)
+
+    return -jnp.mean(target * log100(p) + (1 - target) * log100(1 - p))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +116,15 @@ class LassiTrainer:
 
             self.library = FunctionLibrary(ae_def.latent_dim, hp.poly_order)
             self.W = jnp.asarray(m_weight_tensor(self.library)) if hp.eq_constraint else None
+        if self.sindy_adam and not steps_per_epoch:
+            # the x10 MultiStepLR-equivalent schedule (reference train.py:33,
+            # milestones = epochs 1/2/3) counts OPTIMIZER steps — without the
+            # real batches-per-epoch it would fire within the first epoch and
+            # typically NaN the joint-SINDy run
+            raise ValueError(
+                "LassiTrainer with the Adam joint-SINDy loss (include_sindy "
+                "and w_sindy_x > 0) requires steps_per_epoch=<batches per "
+                "epoch> so the SINDy lr schedule fires at epoch boundaries")
         self.steps_per_epoch = steps_per_epoch or 1
         self.tx = self._make_optimizer()
 
@@ -325,8 +341,9 @@ class LassiTrainer:
     @partial(jax.jit, static_argnums=0)
     def epoch(self, bundle, batch_stats, opt_state, sindy_carry, x_data, dx_data, key):
         hp = self.hp
-        if hp.include_sindy:
-            # the joint latent lstsq needs f32 QR/SVD accuracy
+        if self.sindy_lstsq:
+            # the joint latent lstsq needs f32 QR/SVD accuracy (the Adam
+            # joint-SINDy path has no decomposition — it keeps the override)
             return self._epoch_impl(bundle, batch_stats, opt_state, sindy_carry,
                                     x_data, dx_data, key)
         with jax.default_matmul_precision(hp.matmul_precision):

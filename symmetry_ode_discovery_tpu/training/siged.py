@@ -172,8 +172,8 @@ def _lbfgs_epoch_update(opt, hp: LBFGSHParams, xi_of, loss_fn, state, epoch,
         def one_iter(carry, i):
             params, opt_state, prev_val, prev_step, frozen = carry
             value, grad = jax.value_and_grad(fn)(params)
-            gmax = jnp.max(jnp.stack([jnp.max(jnp.abs(g))
-                                      for g in jax.tree_util.tree_leaves(grad)]))
+            leaves_g = jax.tree_util.tree_leaves(grad)
+            gmax = jnp.max(jnp.stack([jnp.max(jnp.abs(g)) for g in leaves_g]))
             frozen = jnp.logical_or(frozen, gmax <= TOL_GRAD)
             frozen = jnp.logical_or(
                 frozen,
@@ -181,19 +181,45 @@ def _lbfgs_epoch_update(opt, hp: LBFGSHParams, xi_of, loss_fn, state, epoch,
                     i > 0,
                     jnp.logical_or(prev_step <= TOL_CHANGE,
                                    jnp.abs(value - prev_val) < TOL_CHANGE)))
+            # torch commits the curvature pair and prev_loss/prev_grad
+            # BEFORE the gtd check fires (lbfgs.py: the history update and
+            # prev assignments precede the break), so the gtd-break freezes
+            # only the parameter step — track the pre-gtd stall separately
+            stalled = frozen
+            # torch's first iteration after optimizer (re)creation takes
+            # d = -g with t = min(1, 1/|g|_1) * lr (lbfgs.py, state n_iter
+            # == 1; the reference re-creates the optimizer on every
+            # thresholding, train.py:717, which our opt.init reset mirrors).
+            # optax's first direction is -g/|g|_2 instead — override the
+            # whole first step, not just its scale. The curvature memory is
+            # unaffected: optax rebuilds pairs from the params/grad diffs
+            # we actually apply, so subsequent directions match torch's
+            # two-loop with the gamma = ys/y.y initial preconditioner.
+            first = opt_state[0].count == 0
+            g1 = sum(jnp.sum(jnp.abs(g)) for g in leaves_g)
+            t1 = jnp.minimum(1.0, 1.0 / g1)
             updates, new_opt_state = opt.update(grad, opt_state, params)
-            # updates = lr * d, so gtd = g.d = g.updates / lr
-            gtd = sum(jnp.sum(g * u) for g, u in
-                      zip(jax.tree_util.tree_leaves(grad),
-                          jax.tree_util.tree_leaves(updates))) / hp.lr_sindy
+            # updates = lr * d, so gtd = g.d = g.updates / lr; on the first
+            # iteration torch's d = -g gives gtd = -|g|^2
+            gg = sum(jnp.sum(g * g) for g in leaves_g)
+            gtd = jnp.where(
+                first, -gg,
+                sum(jnp.sum(g * u) for g, u in
+                    zip(leaves_g,
+                        jax.tree_util.tree_leaves(updates))) / hp.lr_sindy)
             frozen = jnp.logical_or(frozen, gtd > -TOL_CHANGE)
+            updates = jax.tree_util.tree_map(
+                lambda u, g: jnp.where(first, -hp.lr_sindy * t1 * g, u),
+                updates, grad)
+            # step-size break compares the step actually taken (d * t)
             step_max = jnp.max(jnp.stack([jnp.max(jnp.abs(u))
                                           for u in jax.tree_util.tree_leaves(updates)]))
             new_params = optax.apply_updates(params, updates)
-            keep = lambda n, o: jnp.where(frozen, o, n)
-            params = jax.tree_util.tree_map(keep, new_params, params)
-            opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
-            prev_val = jnp.where(frozen, prev_val, value)
+            params = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(frozen, o, n), new_params, params)
+            opt_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(stalled, o, n), new_opt_state, opt_state)
+            prev_val = jnp.where(stalled, prev_val, value)
             prev_step = jnp.where(frozen, prev_step, step_max)
             return (params, opt_state, prev_val, prev_step, frozen), value
 
@@ -261,8 +287,11 @@ def _make_opt(hp: LBFGSHParams):
     if hp.linesearch:
         return optax.lbfgs(hp.lr_sindy)
     # torch-style fixed-step L-BFGS (no line search): fewer sequential ops
-    # per iteration — the fast path for vmapped sweeps.
-    return optax.lbfgs(hp.lr_sindy, linesearch=None)
+    # per iteration — the fast path for vmapped sweeps. memory_size matches
+    # torch.optim.LBFGS's history_size default (100, what the reference
+    # runs, train.py:630) — optax's default 10 truncates the curvature
+    # history after half an epoch (inner_iters=20) and changes directions.
+    return optax.lbfgs(hp.lr_sindy, linesearch=None, memory_size=100)
 
 
 def train_sindy_lbfgs(
@@ -313,19 +342,24 @@ def train_sindy_lbfgs(
 
     opt = _make_opt(hp)
 
+    def add_reg(loss, params):
+        # per-Parameter L1 like the reference's torch.norm(p, 1) sum — one
+        # implementation shared by every loss branch
+        if hp.sindy_reg_type == "l1":
+            l1 = sum(jnp.sum(jnp.abs(p))
+                     for p in jax.tree_util.tree_leaves(params))
+            return loss + hp.w_sindy_reg * l1
+        if hp.sindy_reg_type != "none":
+            raise ValueError(f"Unknown regularization type: {hp.sindy_reg_type}")
+        return loss
+
     def loss_fn(params, mask):
         Xi = xi_of(params)
         if use_normal_eq:
             Xm = Xi * mask
             mse = (jnp.einsum("ip,pq,iq->", Xm, S, Xm)
                    - 2.0 * jnp.sum(Xm * b_t) + q) / n_elems
-            loss = hp.w_sindy_x * mse
-            if hp.sindy_reg_type == "l1":
-                l1 = sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(params))
-                loss = loss + hp.w_sindy_reg * l1
-            elif hp.sindy_reg_type != "none":
-                raise ValueError(f"Unknown regularization type: {hp.sindy_reg_type}")
-            return loss
+            return add_reg(hp.w_sindy_x * mse, params)
         pred = theta @ (Xi * mask).T
         if latent is None:
             loss = hp.w_sindy_x * jnp.mean((pred - dx) ** 2)
@@ -338,12 +372,7 @@ def train_sindy_lbfgs(
             dx_pred = latent.decode_jvp(x, pred)
             loss = (latent.w_sindy_z * jnp.mean((pred - dz) ** 2)
                     + hp.w_sindy_x * jnp.mean((dx_pred - dx_data) ** 2))
-        if hp.sindy_reg_type == "l1":
-            l1 = sum(jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(params))
-            loss = loss + hp.w_sindy_reg * l1
-        elif hp.sindy_reg_type != "none":
-            raise ValueError(f"Unknown regularization type: {hp.sindy_reg_type}")
-        return loss
+        return add_reg(loss, params)
 
     remat = sym_reg_fn is not None and hp.w_sym_reg > 0.0
 

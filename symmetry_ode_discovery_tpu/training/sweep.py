@@ -78,6 +78,10 @@ def _maybe_shard(run_one, seeds, n_mesh_devices: Optional[int]):
     if n_dev > 1 and len(seeds) % n_dev == 0:
         mesh = make_mesh(n_dev)
         return shard_sweep(run_one, mesh)(seeds)
+    if n_dev > 1:
+        # don't let the user believe the mesh is in use
+        print(f"sweep: {len(seeds)} seeds not divisible by {n_dev} devices; "
+              "running single-device vmap")
     return jax.jit(jax.vmap(run_one))(seeds)
 
 
@@ -106,8 +110,16 @@ def sweep_sindy_lbfgs(
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "optax"
+    if hp.linesearch and backend == "pallas":
+        # the fused kernel implements torch-style fixed-lr L-BFGS only; a
+        # zoom-linesearch request must not silently run a different optimizer
+        backend = "optax"
 
     if backend == "pallas":
+        if n_mesh_devices and n_mesh_devices > 1:
+            # the 50-seed kernel solve is 68 ms — sharding it buys nothing
+            print("sweep: pallas backend runs the fused single-device kernel; "
+                  f"--mesh_devices={n_mesh_devices} not used on this path")
         return _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k)
 
     def run_one(seed):

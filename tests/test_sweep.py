@@ -153,3 +153,67 @@ def test_stepper_epoch_budget_no_overshoot():
     Xi_over, m_over = drive(2)     # last call covers epochs [2, 3]
     np.testing.assert_array_equal(np.asarray(m_over), np.asarray(m_exact))
     np.testing.assert_array_equal(np.asarray(Xi_over), np.asarray(Xi_exact))
+
+
+def test_optax_lbfgs_matches_torch_trajectory():
+    """The optax fixed-lr branch (what the symreg/latent paths run) must
+    track torch.optim.LBFGS iterate-for-iterate: history_size=100, the
+    first-iteration step scaling t = min(1, 1/|g|_1)*lr, and torch's
+    commit-then-break gtd semantics. Verified on an over-determined SINDy
+    least-squares problem with large initial gradients (the scaling regime)."""
+    torch = __import__("pytest").importorskip("torch")
+
+    from symmetry_ode_discovery_tpu.models.sindy import make_config
+    from symmetry_ode_discovery_tpu.training import siged
+
+    rng = np.random.default_rng(0)
+    N, d = 200, 2
+    cfg, _ = make_config(d, poly_order=2)
+    x = rng.standard_normal((N, d)).astype(np.float32)
+    theta = np.asarray(cfg.library(jnp.asarray(x)))
+    Xi_true = rng.standard_normal((d, cfg.n_terms)).astype(np.float32)
+    dx = 100.0 * (theta @ Xi_true.T) + 30.0 * rng.standard_normal(
+        (N, d)).astype(np.float32)
+    Xi0 = (0.1 * rng.standard_normal((d, cfg.n_terms))).astype(np.float32)
+    # single-iteration epochs: the first step IS the scaled step (a full
+    # -lr*g step here overshoots by ~|g|_1) and every curvature pair lands
+    # in history — the regime that discriminates torch semantics
+    LR, INNER, EPOCHS = 1.0, 1, 12
+
+    Xi_t = torch.tensor(Xi0.copy(), requires_grad=True)
+    theta_t, dx_t = torch.tensor(theta), torch.tensor(dx)
+    opt_t = torch.optim.LBFGS([Xi_t], lr=LR, max_iter=INNER,
+                              tolerance_grad=1e-7, tolerance_change=1e-9,
+                              history_size=100, line_search_fn=None)
+    t_losses = []
+    for _ in range(EPOCHS):
+        def closure():
+            opt_t.zero_grad()
+            loss = torch.mean((theta_t @ Xi_t.T - dx_t) ** 2)
+            loss.backward()
+            return loss
+        opt_t.step(closure)
+        with torch.no_grad():
+            t_losses.append(float(torch.mean((theta_t @ Xi_t.T - dx_t) ** 2)))
+
+    hp = siged.LBFGSHParams(num_epochs=EPOCHS, inner_iters=INNER,
+                            lr_sindy=LR, sindy_reg_type="none", st_freq=0,
+                            threshold=0.0, w_sindy_x=1.0, tol=0.0,
+                            linesearch=False)
+    opt = siged._make_opt(hp)
+    xi_of = lambda p: p["Xi"]
+    thetaj, dxj = jnp.asarray(theta), jnp.asarray(dx)
+
+    def loss_fn(p, mask):
+        return jnp.mean((thetaj @ (xi_of(p) * mask).T - dxj) ** 2)
+
+    state = siged._init_loop_state({"Xi": jnp.asarray(Xi0.copy())}, opt,
+                                   jnp.ones((d, cfg.n_terms)), hp)
+    for ep in range(EPOCHS):
+        state = siged._lbfgs_epoch_update(opt, hp, xi_of, loss_fn, state, ep)
+        Xi_now = np.asarray(xi_of(state["params"]))
+        ours = float(np.mean((theta @ Xi_now.T - dx) ** 2))
+        assert abs(ours - t_losses[ep]) / abs(t_losses[ep]) < 1e-5, (ep, ours)
+
+    np.testing.assert_allclose(np.asarray(xi_of(state["params"])),
+                               Xi_t.detach().numpy(), atol=1e-3, rtol=1e-4)
