@@ -70,17 +70,34 @@ def load_or_generate(name: str, mode: str, noise: float = 0.0, smoothing=None,
 
     system = SYSTEMS[name]
     if n_ics is None:
-        n_ics = system.default_n_train if "train" in mode else system.default_n_val
-    key = jax.random.fold_in(
-        jax.random.PRNGKey(0 if "train" in mode else 1), int(100 * noise))
+        n_ics = default_n_ics(system, mode)
     print(f"Generating {name} {mode} data (noise={noise}, smoothing={smoothing})...")
-    x, dx = gen_data(system, key, n_ics=n_ics, noise=noise,
+    x, dx = gen_data(system, cache_prng_key(mode, noise), n_ics=n_ics,
+                     noise=noise,
                      multiplicative_noise=system.multiplicative_noise,
                      smoothing=smoothing)
-    os.makedirs(path, exist_ok=True)
+    save_cache(stem, x, dx)
+    return x, dx
+
+
+def cache_prng_key(mode: str, noise: float):
+    """The PRNG key of a cached dataset draw — ONE recipe shared by the
+    loader's cache-miss regeneration and the data/gen.py CLI, so CLI-written
+    caches are always the same draw a cache miss would produce."""
+    import jax  # lazy, like the rest of this module
+
+    return jax.random.fold_in(
+        jax.random.PRNGKey(0 if "train" in mode else 1), int(100 * noise))
+
+
+def default_n_ics(system, mode: str) -> int:
+    return system.default_n_train if "train" in mode else system.default_n_val
+
+
+def save_cache(stem: str, x, dx) -> None:
+    os.makedirs(os.path.dirname(stem) or ".", exist_ok=True)
     np.save(f"{stem}-x.npy", np.asarray(x, np.float32))
     np.save(f"{stem}-dx.npy", np.asarray(dx, np.float32))
-    return x, dx
 
 
 class ODEDataset:

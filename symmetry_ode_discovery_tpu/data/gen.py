@@ -36,10 +36,10 @@ def main(argv=None):
                         help="also export .pt tensors for the PyTorch reference")
     args = parser.parse_args(argv)
 
-    import jax
     import numpy as np
 
-    from .datasets import DATA_PATH, _cache_stem
+    from .datasets import (DATA_PATH, _cache_stem, cache_prng_key,
+                           default_n_ics, save_cache)
     from .generate import gen_data
     from .systems import SYSTEMS
 
@@ -49,11 +49,11 @@ def main(argv=None):
 
     for mode in args.modes:
         n_ics = (args.n_ics if args.n_ics is not None and "train" in mode
-                 else system.default_n_train if "train" in mode
-                 else system.default_n_val)
-        key = jax.random.fold_in(
-            jax.random.PRNGKey(0 if "train" in mode else 1), int(100 * args.noise))
-        x, dx = gen_data(system, key, n_ics=n_ics, dt=args.dt,
+                 else default_n_ics(system, mode))
+        # key/stem/save come from datasets.py so CLI-written caches always
+        # match what the loader would regenerate on a cache miss
+        x, dx = gen_data(system, cache_prng_key(mode, args.noise),
+                         n_ics=n_ics, dt=args.dt,
                          num_steps=args.num_steps,
                          subsample_rate=args.subsample_rate,
                          noise=args.noise,
@@ -62,8 +62,7 @@ def main(argv=None):
                          gp_sigma_in=args.gp_sigma_in)
         stem = os.path.join(path, _cache_stem(args.system, mode, args.noise,
                                               args.smoothing))
-        np.save(f"{stem}-x.npy", np.asarray(x, np.float32))
-        np.save(f"{stem}-dx.npy", np.asarray(dx, np.float32))
+        save_cache(stem, x, dx)
         print(f"wrote {stem}-{{x,dx}}.npy  shape={tuple(x.shape)}")
         if args.torch:
             import torch

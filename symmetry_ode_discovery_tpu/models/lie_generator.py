@@ -286,7 +286,10 @@ def sample_coefficient(spec: GeneratorSpec, key: jax.Array, batch_size: int,
     elif spec.coef_dist == "uniform":
         z = jax.random.uniform(key, (batch_size, n_channels)) * 2 * sigma - sigma
     elif spec.coef_dist == "uniform_int_grid":
-        bound = int(sigma.reshape(-1)[0])  # eager-only, like the ref's int(tensor)
+        # the reference's int(sigma[0]) reads the live tensor eagerly each
+        # batch; jax.random.randint accepts traced bounds, so the same
+        # truncation works inside the jitted training epoch
+        bound = jnp.floor(jnp.abs(sigma.reshape(-1)[0])).astype(jnp.int32)
         z = jax.random.randint(key, (batch_size, n_channels),
                                -bound, bound).astype(jnp.float32)
     else:

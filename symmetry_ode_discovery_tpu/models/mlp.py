@@ -29,18 +29,27 @@ from flax import linen as nn
 def get_activation(name: str, args: Sequence[float] = ()) -> Callable:
     """torch-style activation names (reference getattr(nn, activation),
     autoencoder.py:43)."""
+    # the reference forwards activation_args to the torch module ctor
+    # (nn.ELU(alpha), nn.Softplus(beta, threshold), nn.LeakyReLU(slope)) —
+    # thread them to the jax equivalents the same way
     table = {
         "ReLU": lambda: nn.relu,
         "Tanh": lambda: jnp.tanh,
         "Sigmoid": lambda: jax.nn.sigmoid,
-        "ELU": lambda: jax.nn.elu,
+        "ELU": lambda: (lambda x: jax.nn.elu(x, args[0] if args else 1.0)),
         "SiLU": lambda: jax.nn.silu,
         "GELU": lambda: jax.nn.gelu,
-        "Softplus": lambda: jax.nn.softplus,
+        # torch Softplus(beta=1, threshold=20): linear above threshold/beta
+        "Softplus": lambda: (lambda x: jnp.where(
+            (args[0] if args else 1.0) * x > (args[1] if len(args) > 1 else 20.0),
+            x, jax.nn.softplus((args[0] if args else 1.0) * x)
+            / (args[0] if args else 1.0))),
         "LeakyReLU": lambda: (lambda x: jax.nn.leaky_relu(x, args[0] if args else 0.01)),
     }
     if name not in table:
         raise ValueError(f"Unknown activation: {name}")
+    if args and name in ("ReLU", "Tanh", "Sigmoid", "SiLU", "GELU"):
+        raise ValueError(f"activation {name} takes no activation_args")
     return table[name]()
 
 
@@ -130,9 +139,15 @@ class SplitEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        # each half-submodule produces HALF the latent so the concatenation
+        # closes the encode->decode round trip at latent_dim (giving each
+        # half the full latent_dim would emit 2*latent_dim and crash the
+        # decoder; the reference's SplitModel has the same mismatch and is
+        # unusable as written)
+        assert self.latent_dim % 2 == 0, "mlp_split needs an even latent_dim"
         h = x.shape[-1] // 2
         x1, x2 = x[..., :h], x[..., h:]
-        kw = dict(hidden_dim=self.hidden_dim, latent_dim=self.latent_dim,
+        kw = dict(hidden_dim=self.hidden_dim, latent_dim=self.latent_dim // 2,
                   n_layers=self.n_layers, activation=self.activation,
                   activation_args=self.activation_args,
                   batch_norm=self.batch_norm, ortho=self.ortho)
@@ -151,9 +166,12 @@ class SplitDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # halves mirror SplitEncoder: each submodule reconstructs half the
+        # output from half the latent
+        assert self.output_dim % 2 == 0, "mlp_split needs an even output_dim"
         h = x.shape[-1] // 2
         x1, x2 = x[..., :h], x[..., h:]
-        kw = dict(hidden_dim=self.hidden_dim, output_dim=self.output_dim,
+        kw = dict(hidden_dim=self.hidden_dim, output_dim=self.output_dim // 2,
                   n_layers=self.n_layers, activation=self.activation,
                   activation_args=self.activation_args)
         return jnp.concatenate([

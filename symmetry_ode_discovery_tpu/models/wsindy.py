@@ -54,6 +54,13 @@ def wsindy_solve_step(
     x: (T, dim) single uniformly-sampled trajectory.
     Returns (new_state, residual, converged).
     """
+    # this solver writes state.Xi directly; a constrained cfg would make
+    # get_Xi/set_threshold re-derive Xi from the untouched beta and silently
+    # report random-init coefficients — fail loudly instead
+    assert not cfg.constraint, (
+        "wsindy_solve_step solves unconstrained Xi; the equivariance "
+        "constraint (beta parameterization) is not supported on the "
+        "weak-form path (the reference never combines them either)")
     theta = cfg.library(x)  # (T, p)
     G = mats.V @ theta  # (K, p)
     b = -mats.V_drv @ x  # (K, dim)

@@ -25,10 +25,11 @@ class MetricsLogger:
         self._step = 0
         self._t0 = time.time()
         if config is not None:
+            # serialize EVERY config entry (default=str covers lists/arrays/
+            # paths) — dropping non-scalars made runs differing only in a
+            # list-valued flag indistinguishable post-hoc
             with open(os.path.join(self.dir, "params.json"), "w") as f:
-                json.dump({k: v for k, v in config.items()
-                           if isinstance(v, (int, float, str, bool, type(None)))},
-                          f, indent=2, default=str)
+                json.dump(dict(config), f, indent=2, default=str)
         self._wandb = None
         if os.environ.get("SODT_WANDB") == "1":
             try:

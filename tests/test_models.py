@@ -230,3 +230,50 @@ def test_discriminator_with_invariant_label():
     params = d.init(jax.random.PRNGKey(1), z, y, None)["params"]
     out = d.apply({"params": params}, z, y, None)
     assert out.shape == (4, 1)
+
+
+def test_mlp_split_roundtrip():
+    """ae_arch='mlp_split': each half-submodule must emit HALF the latent so
+    encode->decode closes at (latent_dim, input_dim) — giving each half the
+    full latent_dim crashed every mlp_split forward with a shape error."""
+    from symmetry_ode_discovery_tpu.models.autoencoder import AutoEncoderDef
+
+    ae = AutoEncoderDef(ae_arch="mlp_split", input_dim=4, hidden_dim=16,
+                        latent_dim=2, n_layers=2, n_comps=1)
+    params, bstats = ae.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    z, _ = ae.encode(params, bstats, x, train=False)
+    assert z.shape == (8, 2)
+    xr = ae.decode(params, z)
+    assert xr.shape == x.shape
+
+
+def test_uniform_int_grid_jits():
+    """coef_dist='uniform_int_grid' must trace (the training epoch is one
+    jitted program): the bound reads the live sigma via traced randint
+    bounds, not an eager int()."""
+    from symmetry_ode_discovery_tpu.models import lie_generator as lg
+
+    spec = lg.parse_repr("(2,1,2)", "0", coef_dist="uniform_int_grid",
+                         sigma_init=3.0)
+    st = lg.init_generator(jax.random.PRNGKey(0), spec)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2, 2))
+
+    @jax.jit
+    def fwd(st, key, x):
+        return lg.generator_forward(spec, st, key, x)
+
+    out = fwd(st, jax.random.PRNGKey(2), x)
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(out)[0])).all()
+
+
+def test_dataset_cache_miss_roundtrip(tmp_path):
+    """The loader's cache-MISS branch (generate + save + reload): test
+    fixtures usually pre-populate caches, leaving this path uncovered —
+    it must produce the same draw the gen CLI would write."""
+    from symmetry_ode_discovery_tpu.data.datasets import ODEDataset
+
+    ds = ODEDataset.make("dosc", "val", noise=0.0, path=str(tmp_path), n_ics=3)
+    assert ds.x.shape == (300, 2) and np.isfinite(np.asarray(ds.x)).all()
+    ds2 = ODEDataset.make("dosc", "val", noise=0.0, path=str(tmp_path), n_ics=3)
+    np.testing.assert_array_equal(np.asarray(ds.x), np.asarray(ds2.x))
