@@ -159,3 +159,28 @@ def test_Q_padded_jnp_multichannel():
         Xi = col.reshape(2, 6)
         for L, M in zip([L_scale, L_rot], M_list):
             np.testing.assert_allclose(L @ Xi, Xi @ M, atol=2e-3)
+
+
+def test_Q_full_rank_constraint_keeps_all_of_V():
+    """A constraint with NO null space (every singular value above the
+    cutoff): the reference's V[:, -0:] slice returns ALL of V — it proceeds
+    effectively unconstrained. Collapsing Q to zero columns would silently
+    zero Xi. A random dense 'generator' makes the stacked constraint full
+    rank with overwhelming probability. Any generator keeps an exact
+    commutant null space (span{I, L} on the linear block), so the branch is
+    forced with sv_cutoff=0: numerically-zero singulars sit at ~1e-16 > 0."""
+    from symmetry_ode_discovery_tpu.ops.constraint import (get_Q_padded_jnp,
+                                                           m_weight_tensor)
+
+    lib = FunctionLibrary(2, poly_order=2)
+    rng = np.random.default_rng(0)
+    L = rng.standard_normal((2, 2)) * 3.0 + np.eye(2) * 5.0
+    Q, _ = get_Q(lib, [L], sv_cutoff=0.0)
+    n = 2 * lib.n_terms
+    assert Q.shape == (n, n), Q.shape  # all of V, not (n, 0)
+
+    W = jnp.asarray(m_weight_tensor(lib))
+    Qp = np.asarray(get_Q_padded_jnp(W, jnp.asarray(L, jnp.float32),
+                                     sv_cutoff=0.0))
+    # no column zeroed: every column keeps unit norm
+    np.testing.assert_allclose(np.linalg.norm(Qp, axis=0), 1.0, atol=1e-4)
