@@ -277,3 +277,27 @@ def test_dataset_cache_miss_roundtrip(tmp_path):
     assert ds.x.shape == (300, 2) and np.isfinite(np.asarray(ds.x)).all()
     ds2 = ODEDataset.make("dosc", "val", noise=0.0, path=str(tmp_path), n_ics=3)
     np.testing.assert_array_equal(np.asarray(ds.x), np.asarray(ds2.x))
+
+
+def test_activation_args_match_torch():
+    """activation_args must reach the activation like the reference's
+    torch module ctors: nn.ELU(alpha), nn.Softplus(beta, threshold)."""
+    torch = pytest.importorskip("torch")
+
+    from symmetry_ode_discovery_tpu.models.mlp import get_activation
+
+    x = np.linspace(-30.0, 30.0, 301).astype(np.float32)
+    xt = torch.tensor(x)
+    cases = [
+        ("ELU", (0.5,), torch.nn.ELU(0.5)),
+        ("ELU", (), torch.nn.ELU()),
+        ("Softplus", (2.0, 10.0), torch.nn.Softplus(2.0, 10.0)),
+        ("Softplus", (), torch.nn.Softplus()),
+        ("LeakyReLU", (0.2,), torch.nn.LeakyReLU(0.2)),
+    ]
+    for name, args, ref in cases:
+        ours = np.asarray(get_activation(name, args)(jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref(xt).numpy(), atol=1e-6,
+                                   err_msg=f"{name}{args}")
+    with pytest.raises(ValueError):
+        get_activation("ReLU", (0.1,))
