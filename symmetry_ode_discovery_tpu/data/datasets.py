@@ -66,6 +66,10 @@ def load_or_generate(name: str, mode: str, noise: float = 0.0, smoothing=None,
     except FileNotFoundError:
         pass
 
+    xd = _load_pt_cache(stem)
+    if xd is not None:
+        return jnp.asarray(xd[0]), jnp.asarray(xd[1])
+
     from .generate import gen_data
 
     system = SYSTEMS[name]
@@ -78,6 +82,25 @@ def load_or_generate(name: str, mode: str, noise: float = 0.0, smoothing=None,
                      smoothing=smoothing)
     save_cache(stem, x, dx)
     return x, dx
+
+
+def _load_pt_cache(stem: str):
+    """Read the reference's torch cache files ({stem}-{x,dx}.pt, written by
+    its data_utils CLIs, e.g. data_utils/lotka.py:45-64) so a user switching
+    from the PyTorch codebase reuses existing datasets without regeneration.
+    Returns (x, dx) float32 numpy arrays, or None when absent/unreadable."""
+    if not (os.path.exists(f"{stem}-x.pt") and os.path.exists(f"{stem}-dx.pt")):
+        return None
+    try:
+        import torch
+    except ImportError:
+        return None
+    out = []
+    for part in ("x", "dx"):
+        t = torch.load(f"{stem}-{part}.pt", map_location="cpu",
+                       weights_only=True)
+        out.append(np.asarray(t.detach().numpy(), np.float32))
+    return tuple(out)
 
 
 def cache_prng_key(mode: str, noise: float):

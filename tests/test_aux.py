@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -150,3 +151,28 @@ def test_summarize_xplane_roundtrip(tmp_path):
     assert rows, "expected host python events in the trace"
     name, sec, count = rows[0]
     assert isinstance(name, str) and sec >= 0 and count >= 1
+
+
+def test_pt_cache_fallback(tmp_path, monkeypatch):
+    """load_or_generate reads the reference's torch .pt caches when no .npy
+    cache exists (reference data_utils CLIs write {stem}-{x,dx}.pt)."""
+    torch = pytest.importorskip("torch")
+    from symmetry_ode_discovery_tpu.data import datasets as dsmod
+
+    x = np.random.default_rng(0).standard_normal((3, 5, 2)).astype(np.float32)
+    dx = 2.0 * x
+    stem = tmp_path / "dosc-train-noise20-gp"
+    torch.save(torch.from_numpy(x), f"{stem}-x.pt")
+    torch.save(torch.from_numpy(dx), f"{stem}-dx.pt")
+    monkeypatch.setattr(dsmod, "DATA_PATH", str(tmp_path))
+
+    got_x, got_dx = dsmod.load_or_generate("dosc", "train", noise=0.2,
+                                           smoothing="gp")
+    np.testing.assert_allclose(np.asarray(got_x), x)
+    np.testing.assert_allclose(np.asarray(got_dx), dx)
+    # .npy caches still take precedence over .pt
+    np.save(f"{stem}-x.npy", x + 1.0)
+    np.save(f"{stem}-dx.npy", dx)
+    got_x2, _ = dsmod.load_or_generate("dosc", "train", noise=0.2,
+                                       smoothing="gp")
+    np.testing.assert_allclose(np.asarray(got_x2), x + 1.0)
