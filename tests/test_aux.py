@@ -176,3 +176,29 @@ def test_pt_cache_fallback(tmp_path, monkeypatch):
     got_x2, _ = dsmod.load_or_generate("dosc", "train", noise=0.2,
                                        smoothing="gp")
     np.testing.assert_allclose(np.asarray(got_x2), x + 1.0)
+
+
+def test_committed_laligan_checkpoints_intact():
+    """The tracked LaLiGAN checkpoints (the artifacts every symreg / GP-symm
+    sweep row in RESULTS.md depends on) load and carry the learned symmetry:
+    LV noise99 must hold the shear generator (reference lv/noise99_sym
+    protocol outcome), selkov a finite nonzero sim2 generator."""
+    root = os.path.join(os.path.dirname(__file__), "..", "saved_models")
+
+    g = np.load(os.path.join(root, "laligan-noise99-lv", "generator.npz"))
+    m = np.load(os.path.join(root, "laligan-noise99-lv", "generator_mask.npz"))
+    Li = g["['Li']/[0]"] * m["[0]"]          # (n_channels, 2, 2) masked
+    assert Li.shape == (1, 2, 2)
+    # thresholded shear: dominant (0,1) entry, everything else masked to ~0
+    assert abs(Li[0, 0, 1]) > 0.5
+    off = np.abs(Li[0]).sum() - abs(Li[0, 0, 1])
+    assert off < 1e-3
+
+    gs = np.load(os.path.join(root, "laligan-noise20-selkov", "generator.npz"))
+    Li_s = gs["['Li']/[0]"]
+    assert np.all(np.isfinite(Li_s)) and np.abs(Li_s).max() > 0.1
+
+    for name in ("laligan-noise99-lv", "laligan-noise20-selkov"):
+        ae = np.load(os.path.join(root, name, "autoencoder.npz"))
+        vals = [ae[k] for k in ae.files]
+        assert vals and all(np.all(np.isfinite(v)) for v in vals)
