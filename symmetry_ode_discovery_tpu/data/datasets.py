@@ -97,8 +97,11 @@ def _load_pt_cache(stem: str):
         return None
     out = []
     for part in ("x", "dx"):
-        t = torch.load(f"{stem}-{part}.pt", map_location="cpu",
-                       weights_only=True)
+        try:
+            t = torch.load(f"{stem}-{part}.pt", map_location="cpu",
+                           weights_only=True)
+        except Exception:  # truncated/corrupt cache: fall back to regeneration
+            return None
         out.append(np.asarray(t.detach().numpy(), np.float32))
     return tuple(out)
 

@@ -176,6 +176,10 @@ def test_pt_cache_fallback(tmp_path, monkeypatch):
     got_x2, _ = dsmod.load_or_generate("dosc", "train", noise=0.2,
                                        smoothing="gp")
     np.testing.assert_allclose(np.asarray(got_x2), x + 1.0)
+    # a truncated/corrupt .pt cache is skipped, not a crash
+    with open(f"{stem}-x.pt", "wb") as f:
+        f.write(b"not a torch file")
+    assert dsmod._load_pt_cache(str(stem)) is None
 
 
 def test_committed_laligan_checkpoints_intact():
