@@ -156,18 +156,15 @@ def _prep_normal_eq(cfg, k, n_params, x, dx, seeds):
     return jax.vmap(prep)(seeds)
 
 
-def _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k, interpret=False):
-    """Fused-kernel sweep: per-seed normal-equation reduction on device, then
-    one kernel launch for the whole protocol."""
-    from ..ops.pallas_lbfgs import PLBFGSConfig, pallas_lbfgs_sweep
+def _pallas_setup(cfg, Q, hp):
+    """Shared kernel config: (pcfg, Mmap, n_params) for a protocol.
+
+    Mmap = [Q | const columns]; theta = [beta, const] (reference
+    sindy.py:58-60 init, 169-176 reconstruction; row-major Q)."""
+    from ..ops.pallas_lbfgs import PLBFGSConfig
 
     d, p = cfg.latent_dim, cfg.n_terms
-    n = x.shape[0]
-    lib = cfg.library
-
     if cfg.constraint:
-        # Mmap = [Q | const columns]; theta = [beta, const] (reference
-        # sindy.py:58-60 init, 169-176 reconstruction; row-major Q)
         n_free = Q.shape[1]
         cols = [np.asarray(Q, np.float32)]
         if cfg.allow_constant:
@@ -181,7 +178,6 @@ def _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k, interpret=False):
         Mmap = None
         n_params = d * p
 
-    S, B, q, ne, th0 = _prep_normal_eq(cfg, k, n_params, x, dx, jnp.asarray(seeds))
     pcfg = PLBFGSConfig(
         d=d, p=p, n_params=n_params, num_epochs=hp.num_epochs,
         inner_iters=hp.inner_iters, lr=hp.lr_sindy, w_x=hp.w_sindy_x,
@@ -191,11 +187,67 @@ def _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k, interpret=False):
         # delta must sum their norms separately (reference train.py)
         n_beta=(n_free if (cfg.constraint and cfg.allow_constant) else None),
     )
+    return pcfg, Mmap, n_params
+
+
+def _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k, interpret=False):
+    """Fused-kernel sweep: per-seed normal-equation reduction on device, then
+    one kernel launch for the whole protocol."""
+    from ..ops.pallas_lbfgs import pallas_lbfgs_sweep
+
+    d, p = cfg.latent_dim, cfg.n_terms
+    pcfg, Mmap, n_params = _pallas_setup(cfg, Q, hp)
+    S, B, q, ne, th0 = _prep_normal_eq(cfg, k, n_params, x, dx, jnp.asarray(seeds))
     th, mask, _ = pallas_lbfgs_sweep(pcfg, S, B, q, ne, th0, Mmap=Mmap,
                                      interpret=interpret)
     Xi = (jnp.asarray(th) @ jnp.asarray(Mmap).T if Mmap is not None
           else jnp.asarray(th)).reshape(len(seeds), d, p)
     return _finalize(Xi, mask, truth)
+
+
+def sweep_sindy_lbfgs_stacked(
+    cfg: SINDyConfig,
+    Q: Optional[np.ndarray],
+    xs,   # sequence of L arrays (N, d) — e.g. one dataset per noise level
+    dxs,  # sequence of L arrays (N, d)
+    truth: np.ndarray,
+    hp: LBFGSHParams,
+    seeds: np.ndarray,
+    lbfgs_subsample: float = 1.0,
+    interpret: bool = False,
+):
+    """Datasets x seeds SINDy/EquivSINDy-c sweep in one device program.
+
+    The dataset axis (e.g. noise level) becomes a second sweep axis of the
+    fused Pallas kernel: L datasets x len(seeds) seeds = L*S independent
+    L-BFGS protocols (BASELINE.md's "all noise levels" sweep). The kernel
+    compiles once and is launched back-to-back per dataset — the L-BFGS
+    curvature-history VMEM scratch is what bounds lanes per launch, and
+    launches pipeline asynchronously, so this costs the same as one giant
+    launch. Per-(dataset, seed) lanes use exactly the per-seed protocol of
+    sweep_sindy_lbfgs (same PRNG fold-in), so each dataset's results are
+    identical to running its own sweep. Returns a list of L SweepResult.
+    """
+    from ..ops.pallas_lbfgs import pallas_lbfgs_sweep
+
+    d, p = cfg.latent_dim, cfg.n_terms
+    pcfg, Mmap, n_params = _pallas_setup(cfg, Q, hp)
+    seeds_j = jnp.asarray(seeds)
+    n_seeds = len(seeds)
+
+    # Per-dataset prep + launch, all async: one jitted prep program and one
+    # compiled kernel, each dispatched L times with no host round-trips.
+    outs = []
+    for x, dx in zip(xs, dxs):
+        S, B, q, ne, th0 = _prep_normal_eq(
+            cfg, int(x.shape[0] * lbfgs_subsample), n_params,
+            jnp.asarray(x), jnp.asarray(dx), seeds_j)
+        th, mask, _ = pallas_lbfgs_sweep(pcfg, S, B, q, ne, th0, Mmap=Mmap,
+                                         interpret=interpret)
+        Xi = (th @ jnp.asarray(Mmap).T if Mmap is not None else th
+              ).reshape(n_seeds, d, p)
+        outs.append((Xi, mask))
+    return [_finalize(Xi, mask, truth) for Xi, mask in outs]
 
 
 def sweep_sindy_stlsq(

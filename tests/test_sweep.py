@@ -59,6 +59,36 @@ def test_lbfgs_sweep_vmapped():
     assert (res.mse < 1e-4).all()
 
 
+def test_stacked_sweep_matches_per_dataset():
+    """sweep_sindy_lbfgs_stacked (the all-noise-levels sweep) is lane-exact:
+    each dataset's results equal its own single-dataset kernel sweep."""
+    from symmetry_ode_discovery_tpu.training.sweep import (
+        _pallas_lbfgs_sweep, sweep_sindy_lbfgs_stacked)
+
+    x, dx = _dosc()
+    xf, dxf = x.reshape(-1, 2), dx.reshape(-1, 2)
+    noise = 0.05 * jax.random.normal(jax.random.PRNGKey(7), xf.shape)
+    xs = [xf, xf + noise]
+    dxs = [dxf, dxf + noise]
+    cfg, _ = make_config(2, poly_order=2)
+    hp = LBFGSHParams(num_epochs=10, lr_sindy=1.0, sindy_reg_type="none",
+                      st_freq=5, threshold=5e-2)
+    seeds = np.arange(3)
+    stacked = sweep_sindy_lbfgs_stacked(cfg, None, xs, dxs, sindy_truth["dosc"],
+                                        hp, seeds, lbfgs_subsample=0.5,
+                                        interpret=True)
+    assert len(stacked) == 2
+    for xi, dxi, res in zip(xs, dxs, stacked):
+        k = int(xi.shape[0] * 0.5)
+        solo = _pallas_lbfgs_sweep(cfg, None, xi, dxi, sindy_truth["dosc"],
+                                   hp, seeds, k, interpret=True)
+        np.testing.assert_array_equal(res.Xi, solo.Xi)
+        np.testing.assert_array_equal(res.mask, solo.mask)
+        np.testing.assert_array_equal(res.correct_form, solo.correct_form)
+    # the clean-data lanes actually discover the system
+    assert stacked[0].correct_form.all()
+
+
 def test_symreg_stepper_sharded_matches_vmap():
     """The mesh-sharded host-stepped EquivSINDy-r driver (parallel/mesh.py
     shard_stepper, the cli/main.py --mesh_devices path) must reproduce the
