@@ -1,4 +1,4 @@
-"""Headline benchmark: two 50-seed equation-discovery sweeps, one TPU program each.
+"""Headline benchmark: 50-seed equation-discovery sweeps as single TPU programs.
 
 The reference runs every sweep as a sequential bash loop — 50 process
 relaunches, each a full L-BFGS SINDy fit (reference run_scripts/*.sh). Here a
@@ -6,10 +6,16 @@ sweep is ONE batched TPU program: vmap over the seed axis (per-seed data
 subsample + init + 100-epoch L-BFGS with convergence-triggered thresholding +
 on-device evaluation), lowered to the fused Pallas kernel.
 
-Two sweeps, proving speed AND the paper's core claim:
-  1. LV noise-0.99 plain SINDy (run_configs/lv/noise99_eq_sindy_2.cfg) — the
-     speed headline. North star (BASELINE.md): < 60 s wall clock on TPU;
-     vs_baseline = 60 / wall_clock (>1 means beating the target).
+Two legs, proving speed AND the paper's core claim:
+  1. LV plain SINDy at ALL noise levels x 50 seeds — BASELINE.md's north-star
+     metric, literally ("a full multi-seed discovery sweep (50 seeds, all
+     noise levels) on LV < 1 min on a v5e-8"): the noise level is a second
+     sweep axis of the fused kernel (sweep_sindy_lbfgs_stacked). Runs over
+     whichever level caches exist (regenerating a level is ~5 min of GP
+     smoothing on the tunnel, so missing levels are skipped); noise 0.99 is
+     always regenerated if absent so the leg never degenerates.
+     vs_baseline = 60 / lv_wall (>1 means beating the target ON ONE CHIP —
+     the target budget is a v5e-8).
   2. Growth noise-0.05 EquivSINDy-c (run_configs/growth/noise05_esindy.cfg) —
      the symmetry-informed flagship. Reference notebook numbers
      (BASELINE.md): joint success 50/50, coefficient RMSE 0.0143 +- 0.0066.
@@ -46,36 +52,45 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
 def main():
     if not _probe_backend():
         print(json.dumps({
-            "metric": "lv_sindy_plus_growth_esindy_50seed_sweeps_wallclock",
+            "metric": "lv_allnoise_sindy_plus_growth_esindy_50seed_sweeps",
             "value": None, "unit": "s", "vs_baseline": None,
             "error": "device backend unreachable (axon tunnel down): "
                      "backend-init probe subprocess hung/failed",
         }))
         return 1
 
+    import os
+
     import jax
 
-    from symmetry_ode_discovery_tpu.data.datasets import ODEDataset
+    from symmetry_ode_discovery_tpu.data.datasets import DATA_PATH, ODEDataset
     from symmetry_ode_discovery_tpu.models.sindy import make_config
     from symmetry_ode_discovery_tpu.training.siged import LBFGSHParams
-    from symmetry_ode_discovery_tpu.training.sweep import sweep_sindy_lbfgs
+    from symmetry_ode_discovery_tpu.training.sweep import (
+        sweep_sindy_lbfgs, sweep_sindy_lbfgs_stacked)
     from symmetry_ode_discovery_tpu.evaluation import sindy_truth
 
     seeds = np.arange(50)
 
-    # ---- 1. LV noise99 plain SINDy (speed headline) ----
-    # Protocol of run_configs/lv/noise99_eq_sindy_2.cfg: poly2 + exp library,
-    # lbfgs_subsample 0.01, lr 0.1, st_freq 20, threshold 0.15, 100 epochs.
-    ds = ODEDataset.make("lv", "train", noise=0.99, smoothing="gp")
+    # ---- 1. LV plain SINDy, all noise levels (the literal north star) ----
+    # Protocol of run_configs/lv/noise99_eq_sindy_2.cfg per level: poly2 + exp
+    # library, lbfgs_subsample 0.01, lr 0.1, st_freq 20, threshold 0.15,
+    # 100 epochs. Only levels whose caches exist are swept (cache gen is
+    # ~5 min/level of TPU GP smoothing); noise 0.99 always runs.
+    all_levels = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.99]
+    levels = [nl for nl in all_levels if nl == 0.99 or os.path.exists(
+        os.path.join(DATA_PATH, f"lv-train-noise{int(100 * nl):02d}-gp-x.npy"))]
+    ds_lv = [ODEDataset.make("lv", "train", noise=nl, smoothing="gp")
+             for nl in levels]
     cfg_lv, _ = make_config(2, poly_order=2, include_exp=True, threshold=0.15)
     hp_lv = LBFGSHParams(num_epochs=100, lr_sindy=0.1, w_sindy_x=1.0,
                          w_sindy_reg=0.0, sindy_reg_type="l1",
                          st_freq=20, threshold=0.15)
 
     def run_lv():
-        return sweep_sindy_lbfgs(cfg_lv, None, ds.x, ds.dx, sindy_truth["lv"],
-                                 hp_lv, seeds, lbfgs_subsample=0.01,
-                                 backend="pallas")
+        return sweep_sindy_lbfgs_stacked(
+            cfg_lv, None, [d.x for d in ds_lv], [d.dx for d in ds_lv],
+            sindy_truth["lv"], hp_lv, seeds, lbfgs_subsample=0.01)
 
     # ---- 2. Growth noise05 EquivSINDy-c (symmetry-informed flagship) ----
     # Protocol of run_configs/growth/noise05_esindy.cfg: scaling2 hard
@@ -120,17 +135,21 @@ def main():
         rmse = float(np.mean(np.sqrt(res.mse[ok]))) if ok.any() else float("nan")
         return joint, rmse
 
-    joint_lv, rmse_lv = stats(res_lv)
+    by_noise = {f"{nl:.2f}": int(np.all(r.correct_form > 0, axis=1).sum())
+                for nl, r in zip(levels, res_lv)}
+    joint_99, _ = stats(res_lv[levels.index(0.99)])
     joint_g, rmse_g = stats(res_g)
 
     wall = wall_lv + wall_g
     print(json.dumps({
-        "metric": "lv_sindy_plus_growth_esindy_50seed_sweeps_wallclock",
+        "metric": "lv_allnoise_sindy_plus_growth_esindy_50seed_sweeps",
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(60.0 / wall_lv, 2),
         "lv_sindy_wall_s": round(wall_lv, 3),
-        "lv_sindy_joint_success": joint_lv,
+        "lv_sindy_noise_levels": len(levels),
+        "lv_sindy_success_by_noise": by_noise,
+        "lv_sindy_noise99_joint_success": joint_99,
         "growth_esindy_wall_s": round(wall_g, 3),
         "growth_esindy_joint_success": joint_g,
         "growth_esindy_rmse": round(rmse_g, 4),
