@@ -176,10 +176,23 @@ def run(args: dict) -> dict:
 
             ae_dtype = {"bf16": jnp.bfloat16, "f32": None}[args.get("ae_dtype", "f32")]
             use_pallas = bool(args.get("symmpen_pallas"))
-            sym_reg_prep, sym_reg_fn = make_symmreg_i_fast(
-                ae_def, ae_params, ae_bstats, spec, g_state,
-                args["int_t"], args["int_dt"], ae_dtype=ae_dtype,
-                pallas=use_pallas)
+            # fused rollout+tangent scan (default on): requires the
+            # block-diagonal bases every generator export produces; fall
+            # back to the composed closure if a custom basis isn't
+            fused_lib = None if args.get("no_fused_rollout") else cfg.library
+            try:
+                sym_reg_prep, sym_reg_fn = make_symmreg_i_fast(
+                    ae_def, ae_params, ae_bstats, spec, g_state,
+                    args["int_t"], args["int_dt"], ae_dtype=ae_dtype,
+                    pallas=use_pallas, fused_rollout_lib=fused_lib)
+            except ValueError:
+                if fused_lib is None:
+                    raise
+                print("warning: basis not block-diagonal; fused rollout off")
+                sym_reg_prep, sym_reg_fn = make_symmreg_i_fast(
+                    ae_def, ae_params, ae_bstats, spec, g_state,
+                    args["int_t"], args["int_dt"], ae_dtype=ae_dtype,
+                    pallas=use_pallas)
         else:
             if args.get("symmpen_pallas"):
                 print("warning: --symmpen_pallas only applies to the "
@@ -202,6 +215,13 @@ def run(args: dict) -> dict:
     if args["sindy_optimizer"] != "lbfgs":
         from ..training.siged_adam import AdamHParams, SIGEDAdamTrainer, train_siged_adam
         from ..models.sindy import SINDyState, equation_strings
+
+        if sym_reg_prep is not None:
+            # the fast/fused penalties are stepper-only (3-arg, prep ctx);
+            # the Adam trainer calls sym_reg_fn(forward_fn, x) — same loss
+            sym_reg_fn = make_sym_reg_fn(ae_def, ae_params, ae_bstats, spec,
+                                         g_state, args["sym_reg_type"],
+                                         args["int_t"], args["int_dt"])
 
         ahp = AdamHParams(
             num_epochs=args["num_epochs"], batch_size=args["batch_size"],

@@ -92,3 +92,68 @@ def solve_ode_batch(
 
     _, (xs, dxs) = lax.scan(body, x0, None, length=num_steps)
     return xs, dxs
+
+
+def make_euler_pair(f_of: Callable, n_steps: int, dt: float):
+    """Fused Euler rollout + directional derivative with a memory-light VJP.
+
+    For the EquivSINDy-r closure (training/symmreg.py make_symmreg_i_fast,
+    reference model_utils.py:8-67 + train.py:667-673) the hot path computes
+    BOTH `fx = odeint(f, x, t, dt)` and `iv = d/deps odeint(f, x + eps*v)`.
+    Composing `odeint` + `jax.jvp(odeint)` under autodiff makes XLA store a
+    per-step linearization of the whole rollout — (n_steps, batch, n_terms)
+    tensors per seed per closure evaluation (the dominant HBM traffic of the
+    flagship sweep, see tools/profile_symreg.py) — and runs the primal twice.
+
+    `make_euler_pair(f_of, n, dt)(x0, v0, A)` returns (fx, iv) from ONE scan
+    carrying (state, tangent), with a custom VJP that keeps only the
+    (n_steps, batch, dim) state/tangent trajectories and re-linearizes each
+    Euler step on the reverse sweep (jax.vjp of the step at the stored
+    carry). Same math as the composed form — derivatives are exact, only the
+    association order of float ops differs.
+
+    f_of(A) must return the vector field x -> f(x; A) for parameters A (the
+    masked SINDy coefficients); the VJP covers (x0, v0, A).
+    """
+
+    def pair_step(q, tq, A):
+        f = f_of(A)
+        q1 = _euler_step(f, q, dt)
+        tq1 = tq + dt * jax.jvp(f, (q,), (tq,))[1]
+        return q1, tq1
+
+    @jax.custom_vjp
+    def euler_pair(x0, v0, A):
+        def body(carry, _):
+            q, tq = carry
+            return pair_step(q, tq, A), None
+
+        (q, tq), _ = lax.scan(body, (x0, v0), None, length=n_steps)
+        return q, tq
+
+    def fwd(x0, v0, A):
+        def body(carry, _):
+            q, tq = carry
+            return pair_step(q, tq, A), carry  # save the step INPUTS
+
+        (q, tq), (qs, tqs) = lax.scan(body, (x0, v0), None, length=n_steps)
+        return (q, tq), (qs, tqs, A)
+
+    def bwd(res, cot):
+        qs, tqs, A = res
+        cq, ctq = cot
+        cA0 = jax.tree_util.tree_map(jnp.zeros_like, A)
+
+        def body(carry, step_in):
+            cq, ctq, cA = carry
+            q, tq = step_in
+            _, vjp_fn = jax.vjp(pair_step, q, tq, A)
+            dq, dtq, dA = vjp_fn((cq, ctq))
+            return (dq, dtq, jax.tree_util.tree_map(jnp.add, cA, dA)), None
+
+        (cq, ctq, cA), _ = lax.scan(body, (cq, ctq, cA0), (qs, tqs),
+                                    reverse=True)
+        return cq, ctq, cA
+
+    euler_pair.defvjp(fwd, bwd)
+    return euler_pair

@@ -475,6 +475,10 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
     has_sym = sym_reg_fn is not None and hp.w_sym_reg > 0.0
     remat = has_sym if remat is None else (remat and has_sym)
 
+    # fused-rollout penalties (make_symmreg_i_fast fused_rollout_lib) take
+    # the masked coefficient matrix directly instead of a closure
+    wants_coefs = bool(getattr(sym_reg_fn, "wants_coefs", False))
+
     def make_loss(x, dx, srctx):
         theta = cfg.library(x)
 
@@ -485,7 +489,9 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
             if has_sym:
                 def forward_fn(xq):
                     return cfg.library(xq) @ (Xi * mask).T
-                if sym_reg_prep is not None:
+                if wants_coefs:
+                    loss = loss + hp.w_sym_reg * sym_reg_fn(Xi * mask, x, srctx)
+                elif sym_reg_prep is not None:
                     loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x, srctx)
                 else:
                     loss = loss + hp.w_sym_reg * sym_reg_fn(forward_fn, x)

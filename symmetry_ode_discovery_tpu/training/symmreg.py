@@ -25,6 +25,7 @@ from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.autoencoder import AutoEncoderDef
 from ..models import lie_generator as lg
@@ -167,6 +168,7 @@ def make_symmreg_i_fast(
     ae_dtype=None,
     pallas: bool = False,
     pallas_interpret: bool = False,
+    fused_rollout_lib=None,
 ):
     """Fast-path builder for the infinitesimal symmetry loss inside L-BFGS
     equation discovery (the EquivSINDy-r hot loop).
@@ -210,6 +212,22 @@ def make_symmreg_i_fast(
     residuals are tiny (kernel inputs only), so jax.checkpoint is
     unnecessary — pass remat=False to make_lbfgs_stepper.
     pallas_interpret: run the kernels in interpreter mode (CPU tests).
+
+    fused_rollout_lib: the SINDy FunctionLibrary of the candidate equation.
+    When given, the returned penalty takes the MASKED COEFFICIENT MATRIX
+    instead of a closure — `penalty(XiM, x, ctx)` with XiM (d, p) — and is
+    marked `penalty.wants_coefs = True` (make_lbfgs_stepper dispatches on
+    the attribute). The rollout endpoint and its directional derivative then
+    come from ONE fused scan with a memory-light custom VJP
+    (ops/integrators.make_euler_pair) instead of odeint + jvp(odeint),
+    whose autodiff stores (n_steps, batch, n_terms) linearizations per
+    closure evaluation — the dominant HBM traffic of the flagship sweep
+    (tools/profile_symreg.py). Additionally v_x = J_dec(z_x)·(v·z_x) moves
+    into prep(): it only depends on frozen quantities because every shipped
+    basis element is block-diagonal over the (x, fx) component pair —
+    checked at build time; a basis with a nonzero upper-right block (v_x
+    depending on z_fx) raises. Same math, exact derivatives; only float
+    association order differs from the closure path.
     """
     from ..ops.integrators import odeint
 
@@ -255,6 +273,49 @@ def make_symmreg_i_fast(
         z_x = enc1(x)
         Jd_x = jax.vmap(jax.jacfwd(lambda zz: dec1(zz[None, :])[0]))(z_x)
         return {"z_x": z_x, "Jd_x": Jd_x}
+
+    if fused_rollout_lib is not None:
+        from ..ops.integrators import make_euler_pair
+
+        for v in basis:
+            if not np.allclose(np.asarray(v[:latent, latent:]), 0.0):
+                raise ValueError(
+                    "fused_rollout requires block-diagonal basis elements "
+                    "(v_x must not depend on the rollout endpoint)")
+        n_steps = int(int_t / int_dt)
+        ep = make_euler_pair(lambda A: (lambda q: fused_rollout_lib(q) @ A),
+                             n_steps, int_dt)
+
+        def prep_fused(x):
+            ctx = prep(x)
+            z_x, Jd_x = ctx["z_x"], ctx["Jd_x"]
+            # v_x per basis element, constant across L-BFGS iterations:
+            # v_z_x = v[:lat,:lat] z_x (block-diagonal), pushed through the
+            # frozen decoder Jacobian — previously recomputed every closure
+            v_xs = [jnp.einsum("bij,bj->bi", Jd_x,
+                               z_x @ jnp.asarray(v)[:latent, :latent].T)
+                    for v in basis]
+            ctx["v_xs"] = jnp.stack(v_xs)  # (n_basis, b, input_dim)
+            return ctx
+
+        def penalty_fused(XiM, x, ctx):
+            z_x = ctx["z_x"]
+            loss = 0.0
+            for i, v in enumerate(basis):
+                fx, iv = ep(x, ctx["v_xs"][i], XiM.T)
+                z_fx = enc_k(fx) if pallas else enc1(fx)
+                v_z_fx = (z_fx @ jnp.asarray(v)[latent:, latent:].T
+                          + z_x @ jnp.asarray(v)[latent:, :latent].T)
+                v_fx = (dec_jvp_k(z_fx, v_z_fx) if pallas
+                        else jax.jvp(dec1, (z_fx,), (v_z_fx,))[1])
+                sq = jnp.mean((iv - v_fx) ** 2)
+                if relative:
+                    sq = sq / jnp.mean(iv ** 2)
+                loss = loss + sq
+            return loss
+
+        penalty_fused.wants_coefs = True
+        return prep_fused, penalty_fused
 
     def penalty(forward_fn, x, ctx):
         def forward_step(q):

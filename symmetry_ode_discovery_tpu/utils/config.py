@@ -159,6 +159,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fuse the frozen-AE work of the symreg-i penalty into "
                              "VMEM-resident Pallas kernels (ops/pallas_symmpen.py); "
                              "requires ae_arch=mlp + ReLU")
+    parser.add_argument("--no_fused_rollout", action="store_true",
+                        help="disable the fused rollout+tangent scan of the "
+                             "symreg-i fast path (ops/integrators.make_euler_pair) "
+                             "and use the composed odeint + jvp(odeint) closure")
     return parser
 
 

@@ -1,80 +1,61 @@
-"""Profile one chunk of the EquivSINDy-r (symreg) sweep on the TPU.
+"""Device-op profile of the EquivSINDy-r host-stepped sweep.
 
-Reuses the real CLI pipeline (utils/config parsing, cli.main.build_models,
-dataset cache, LaLiGAN checkpoint) for the exact isymreg protocol, then runs
-ONE seed chunk of the host-stepped L-BFGS driver with per-host-step timing —
-attributing the symreg2-noise99-lv wall clock (RESULTS.md) between compile,
-dispatch and device compute, and sizing HBM headroom for bigger chunks.
-Writes nothing under eval_results/.
+Builds the LV isymreg stepper exactly as cli/main.py does (same config merge,
+same LaLiGAN checkpoint, same fast-path penalty), runs one WARM step_j call
+(seed_chunk seeds x epochs_per_call epochs), traces a second call, and prints
+the top device ops from the XPlane — where the 6.2-min flagship sweep's
+per-epoch device time actually goes (utils/profiling.summarize_xplane).
 
-    python tools/profile_symreg.py --seed_chunk 10 --epochs 30
-    python tools/profile_symreg.py --seed_chunk 25 --save_policy
+Usage:
+  python tools/profile_symreg.py [--config lv/noise99_eq_isymreg.cfg]
+                                 [--symmpen_pallas --ae_dtype f32]
+                                 [--seed_chunk 10] [--top 30]
 """
 
-import argparse
 import os
 import sys
 import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="lv/noise99_eq_isymreg.cfg")
-    ap.add_argument("--seed_chunk", type=int, default=10)
-    ap.add_argument("--epochs", type=int, default=30,
-                    help="epochs to run (full protocol is 100)")
-    ap.add_argument("--epochs_per_call", type=int, default=10)
-    ap.add_argument("--ae_dtype", default="bf16", choices=["bf16", "f32"])
-    ap.add_argument("--save_policy", action="store_true",
-                    help="checkpoint policy: save dot outputs instead of full remat")
-    ap.add_argument("--pallas", action="store_true",
-                    help="fused VMEM-resident frozen-AE kernels "
-                         "(ops/pallas_symmpen.py) + remat off")
-    ap.add_argument("--w_sym_reg", type=float, default=None,
-                    help="ablation: override the penalty weight (0 disables "
-                         "the whole symreg graph -> base L-BFGS cost)")
-    ap.add_argument("--int_t", type=float, default=None,
-                    help="ablation: override the rollout horizon "
-                         "(int_t/int_dt = number of Euler steps)")
-    ap.add_argument("--no_remat", action="store_true",
-                    help="ablation: disable jax.checkpoint on the closure")
-    ap.add_argument("--trace", default="", help="jax.profiler trace dir (2nd step)")
-    opts = ap.parse_args()
-
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from symmetry_ode_discovery_tpu.cli.main import build_models
     from symmetry_ode_discovery_tpu.data.datasets import get_dataset
     from symmetry_ode_discovery_tpu.models import lie_generator as lg
     from symmetry_ode_discovery_tpu.models.sindy import make_config
-    from symmetry_ode_discovery_tpu.training import siged
     from symmetry_ode_discovery_tpu.training.siged import (LBFGSHParams,
                                                            make_lbfgs_stepper)
     from symmetry_ode_discovery_tpu.training.symmreg import make_symmreg_i_fast
     from symmetry_ode_discovery_tpu.utils import checkpoint as ckpt
     from symmetry_ode_discovery_tpu.utils.config import get_args
+    from symmetry_ode_discovery_tpu.utils.profiling import (summarize_xplane,
+                                                            trace)
 
-    args = vars(get_args(["--config", opts.config, "--ae_dtype", opts.ae_dtype]))
-    if opts.w_sym_reg is not None:
-        args["w_sym_reg"] = opts.w_sym_reg
-    if opts.int_t is not None:
-        args["int_t"] = opts.int_t
+    argv = sys.argv[1:]
+    if not any(a == "--config" for a in argv):
+        argv = ["--config", "lv/noise99_eq_isymreg.cfg"] + argv
+    top = 30
+    if "--top" in argv:  # local flag, not part of the run config surface
+        i = argv.index("--top")
+        top = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = vars(get_args(argv))
+
     train_ds, _, args = get_dataset(args)
     ae_def, spec, _ = build_models(args)
-
-    key = jax.random.PRNGKey(0)
-    ae_params, ae_bstats = ae_def.init(key)
-    g_state = lg.init_generator(jax.random.PRNGKey(1), spec)
+    k = jax.random.PRNGKey(0)
+    ae_params, ae_bstats = ae_def.init(k)
+    g_state = lg.init_generator(k, spec)
     bundle = {"ae": ae_params, "d": {}, "g": g_state}
     bundle, ae_bstats = ckpt.load_laligan(args["load_laligan"], bundle, ae_bstats)
     ae_params, g_state = bundle["ae"], bundle["g"]
 
-    cfg, _ = make_config(args["latent_dim"], poly_order=args["poly_order"],
+    cfg, Q = make_config(args["latent_dim"], poly_order=args["poly_order"],
                          include_sine=args["include_sine"],
                          include_exp=args["include_exp"],
                          threshold=args["threshold"])
@@ -83,27 +64,22 @@ def main():
                       sindy_reg_type=args["sindy_reg_type"],
                       w_sym_reg=args["w_sym_reg"], st_freq=args["st_freq"],
                       threshold=args["threshold"], linesearch=False)
-    ae_dtype = jnp.bfloat16 if opts.ae_dtype == "bf16" else None
+    ae_dtype = {"bf16": jnp.bfloat16, "f32": None}[args.get("ae_dtype", "f32")]
+    use_pallas = bool(args.get("symmpen_pallas"))
+    fused_lib = None if args.get("no_fused_rollout") else cfg.library
     prep, pen = make_symmreg_i_fast(ae_def, ae_params, ae_bstats, spec, g_state,
                                     args["int_t"], args["int_dt"],
-                                    ae_dtype=ae_dtype, pallas=opts.pallas)
+                                    ae_dtype=ae_dtype, pallas=use_pallas,
+                                    fused_rollout_lib=fused_lib)
+    epc = max(1, min(args.get("epochs_per_call", 10), hp.num_epochs))
+    init_f, step_f, _ = make_lbfgs_stepper(cfg, Q, hp, pen, sym_reg_prep=prep,
+                                           epochs_per_call=epc,
+                                           remat=False if use_pallas else None)
 
-    if opts.save_policy:
-        # monkey-patch the remat wrapper with a dots-saveable policy: saves
-        # matmul outputs (HBM for recompute) — diagnostic only
-        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-        orig = jax.checkpoint
-        siged.jax.checkpoint = lambda f: orig(f, policy=policy)
-
-    init_f, step_f, extract_f = make_lbfgs_stepper(
-        cfg, None, hp, pen if hp.w_sym_reg > 0 else None,
-        sym_reg_prep=prep if hp.w_sym_reg > 0 else None,
-        epochs_per_call=opts.epochs_per_call,
-        remat=False if (opts.pallas or opts.no_remat) else None)
-
-    x_all, dx_all = jnp.asarray(train_ds.x), jnp.asarray(train_ds.dx)
+    x_all, dx_all = train_ds.x, train_ds.dx
     n = x_all.shape[0]
     k_batch = int(n * args["lbfgs_subsample"])
+    chunk = args.get("seed_chunk", 10)
 
     def prep_seed(s):
         kk = jax.random.fold_in(jax.random.PRNGKey(0), s)
@@ -111,39 +87,31 @@ def main():
         idx = jax.random.permutation(kperm, n)[:k_batch]
         return x_all[idx], dx_all[idx], kfit
 
-    chunk = opts.seed_chunk
-    sub = jnp.arange(chunk)
-    prep_j = jax.jit(jax.vmap(prep_seed))
+    print(f"batch per seed: {k_batch}, chunk: {chunk}, epochs/call: {epc}, "
+          f"pallas={use_pallas}, ae_dtype={args.get('ae_dtype')}")
+    xs, dxs, keys = jax.jit(jax.vmap(prep_seed))(jnp.arange(chunk))
     init_j = jax.jit(jax.vmap(init_f))
     step_j = jax.jit(jax.vmap(step_f, in_axes=(0, None)))
-
-    t0 = time.time()
-    xs, dxs, keys = prep_j(sub)
     carry = init_j(xs, dxs, keys)
+    carry = step_j(carry, 0)  # compile + warm
     jax.block_until_ready(carry)
-    print(f"prep+init (incl compile): {time.time() - t0:.1f} s "
-          f"(k_batch={k_batch}, chunk={chunk})")
 
-    times = []
-    for e in range(0, opts.epochs, opts.epochs_per_call):
-        t0 = time.time()
-        if opts.trace and e == opts.epochs_per_call:
-            with jax.profiler.trace(opts.trace):
-                carry = step_j(carry, e)
-                jax.block_until_ready(carry)
-        else:
-            carry = step_j(carry, e)
-            jax.block_until_ready(carry)
-        dt = time.time() - t0
-        times.append(dt)
-        ndone = int(np.asarray(carry["done"]).sum())
-        print(f"step e={e:3d}: {dt:6.2f} s  done={ndone}/{chunk}")
+    t0 = time.perf_counter()
+    carry = step_j(carry, epc)
+    jax.block_until_ready(carry)
+    wall = time.perf_counter() - t0
+    per_epoch = wall / epc
+    print(f"warm step_j: {wall * 1e3:.1f} ms for {epc} epochs x {chunk} seeds "
+          f"-> {per_epoch * 1e3:.1f} ms/epoch, "
+          f"{per_epoch * 1e3 / hp.inner_iters:.2f} ms/iteration (chunk-wide)")
 
-    warm = times[1:] or times
-    per_es = float(np.mean(warm)) / opts.epochs_per_call / chunk
-    print(f"warm step mean {np.mean(warm):.2f} s -> "
-          f"{per_es * 1e3:.1f} ms/epoch/seed; extrapolated 50x100 "
-          f"(no early exit): {per_es * 100 * 50:.0f} s device time")
+    log_dir = "/tmp/sodt-symreg-trace"
+    with trace(log_dir):
+        carry = step_j(carry, 2 * epc)
+        jax.block_until_ready(carry)
+    rows = summarize_xplane(log_dir, top=top)
+    total = sum(r[1] for r in rows)
+    print(f"device total in trace: {total * 1e3:.1f} ms")
     return 0
 
 
