@@ -10,12 +10,15 @@ Two legs, proving speed AND the paper's core claim:
   1. LV plain SINDy at ALL noise levels x 50 seeds — BASELINE.md's north-star
      metric, literally ("a full multi-seed discovery sweep (50 seeds, all
      noise levels) on LV < 1 min on a v5e-8"): the noise level is a second
-     sweep axis of the fused kernel (sweep_sindy_lbfgs_stacked). Runs over
-     whichever level caches exist (regenerating a level is ~5 min of GP
-     smoothing on the tunnel, so missing levels are skipped); noise 0.99 is
-     always regenerated if absent so the leg never degenerates.
-     vs_baseline = 60 / lv_wall (>1 means beating the target ON ONE CHIP —
-     the target budget is a v5e-8).
+     sweep axis of the fused kernel (sweep_sindy_lbfgs_stacked). Missing
+     level caches are REGENERATED up front (deterministic draw via
+     cache_prng_key): ~3 s/level on-device f32 GP smoothing for noise >=
+     0.15, one f64 host solve for noise 0.10 — so the metric survives
+     artifact-store wipes. Regeneration wall clock is reported separately
+     (`lv_cache_regen_s`) and excluded from the sweep time; coverage is
+     self-described (`lv_sindy_noise_levels`, `skipped_levels`).
+     vs_baseline = (60 * levels_swept/11) / lv_wall (>1 means beating the
+     target ON ONE CHIP — the target budget is a v5e-8).
   2. Growth noise-0.05 EquivSINDy-c (run_configs/growth/noise05_esindy.cfg) —
      the symmetry-informed flagship. Reference notebook numbers
      (BASELINE.md): joint success 50/50, coefficient RMSE 0.0143 +- 0.0066.
@@ -75,13 +78,25 @@ def main():
     # ---- 1. LV plain SINDy, all noise levels (the literal north star) ----
     # Protocol of run_configs/lv/noise99_eq_sindy_2.cfg per level: poly2 + exp
     # library, lbfgs_subsample 0.01, lr 0.1, st_freq 20, threshold 0.15,
-    # 100 epochs. Only levels whose caches exist are swept (cache gen is
-    # ~5 min/level of TPU GP smoothing); noise 0.99 always runs.
+    # 100 epochs. Missing level caches are regenerated first (the draw is
+    # deterministic — datasets.cache_prng_key) so the sweep ALWAYS covers all
+    # 11 levels, even right after an artifact-store wipe; regeneration time
+    # is reported separately and never pollutes the sweep wall clock.
     all_levels = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.99]
-    levels = [nl for nl in all_levels if nl == 0.99 or os.path.exists(
+    missing = [nl for nl in all_levels if not os.path.exists(
         os.path.join(DATA_PATH, f"lv-train-noise{int(100 * nl):02d}-gp-x.npy"))]
-    ds_lv = [ODEDataset.make("lv", "train", noise=nl, smoothing="gp")
-             for nl in levels]
+    t_regen = time.time()
+    levels, ds_lv, skipped = [], [], []
+    for nl in all_levels:
+        try:
+            ds_lv.append(ODEDataset.make("lv", "train", noise=nl,
+                                         smoothing="gp"))
+            levels.append(nl)
+        except Exception as e:  # regen needs the device; report, don't die
+            print(f"bench: level {nl} unavailable ({type(e).__name__}); "
+                  "skipping", file=sys.stderr)
+            skipped.append(nl)
+    regen_wall = time.time() - t_regen if missing else 0.0
     cfg_lv, _ = make_config(2, poly_order=2, include_exp=True, threshold=0.15)
     hp_lv = LBFGSHParams(num_epochs=100, lr_sindy=0.1, w_sindy_x=1.0,
                          w_sindy_reg=0.0, sindy_reg_type="l1",
@@ -137,17 +152,22 @@ def main():
 
     by_noise = {f"{nl:.2f}": int(np.all(r.correct_form > 0, axis=1).sum())
                 for nl, r in zip(levels, res_lv)}
-    joint_99, _ = stats(res_lv[levels.index(0.99)])
+    joint_99 = stats(res_lv[levels.index(0.99)])[0] if 0.99 in levels else None
     joint_g, rmse_g = stats(res_g)
 
     wall = wall_lv + wall_g
+    # honest scaling: the 60 s budget is for ALL 11 levels; pro-rate it by
+    # the levels actually swept so a degraded run can't inflate the ratio
     print(json.dumps({
         "metric": "lv_allnoise_sindy_plus_growth_esindy_50seed_sweeps",
         "value": round(wall, 3),
         "unit": "s",
-        "vs_baseline": round(60.0 / wall_lv, 2),
+        "vs_baseline": round(60.0 * len(levels) / len(all_levels) / wall_lv, 2),
         "lv_sindy_wall_s": round(wall_lv, 3),
         "lv_sindy_noise_levels": len(levels),
+        "skipped_levels": skipped,
+        "lv_cache_regen_s": round(regen_wall, 3),
+        "lv_cache_regen_levels": missing,
         "lv_sindy_success_by_noise": by_noise,
         "lv_sindy_noise99_joint_success": joint_99,
         "growth_esindy_wall_s": round(wall_g, 3),

@@ -148,6 +148,7 @@ def run(args: dict) -> dict:
         include_sine=args["include_sine"], include_exp=args["include_exp"],
         L_list=L_list, constrain_constant=args["constrain_constant"],
         threshold=args["threshold"],
+        dangling_const=args.get("compat_dangling_const", False),
     )
     if args["distill_latent"] and not args["use_latent"]:
         # reference train.py:624-625 raises the same way; silently ignoring

@@ -39,6 +39,14 @@ class SINDyConfig:
     constraint: bool = False
     use_kron_product: bool = True
     allow_constant: bool = True
+    # Bug-compat with reference sindy.py:59: under `constrain_constant` the
+    # reference STILL registers `const` as an nn.Parameter, so it contributes
+    # |const| to the L1 penalty and its update norm to the L-BFGS convergence
+    # delta (train.py:681-690,705) even though get_Xi never reads it. Default
+    # False = the mathematically clean behavior (const simply absent);
+    # True reproduces the reference's dangling parameter for users combining
+    # --constrain_constant with w_sindy_reg > 0.
+    dangling_const: bool = False
     n_free: int = 0  # number of beta parameters (columns of Q); 0 if unconstrained
     threshold: float = 0.1
 
@@ -77,6 +85,7 @@ def make_config(
     L_list: Sequence[np.ndarray] = (),
     constrain_constant: bool = False,
     threshold: float = 0.1,
+    dangling_const: bool = False,
 ) -> tuple[SINDyConfig, Optional[np.ndarray]]:
     """Build the config (and the Q null-space basis when constrained).
 
@@ -106,6 +115,7 @@ def make_config(
         constraint=True,
         use_kron_product=use_kron,
         allow_constant=not constrain_constant,
+        dangling_const=dangling_const and constrain_constant,
         n_free=Q.shape[1],
         threshold=threshold,
     )

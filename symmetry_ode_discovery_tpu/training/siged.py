@@ -98,7 +98,11 @@ def _make_param_fns(cfg: SINDyConfig, Q: Optional[jnp.ndarray]):
         def init_params(key):
             k1, k2 = jax.random.split(key)
             params = {"beta": jax.random.normal(k1, (cfg.n_free,))}
-            if cfg.allow_constant:
+            if cfg.allow_constant or cfg.dangling_const:
+                # dangling_const: reference sindy.py:59 registers const as a
+                # Parameter even under constrain_constant — it never reaches
+                # Xi (xi_of ignores it) but feeds the L1 penalty and the
+                # convergence delta like any other parameter
                 params["const"] = jax.random.normal(k2, (d, 1))
             return params
 

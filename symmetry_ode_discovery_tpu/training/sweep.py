@@ -172,12 +172,18 @@ def _pallas_setup(cfg, Q, hp):
             for i in range(d):
                 cc[i * p, i] = 1.0
             cols.append(cc)
+        elif cfg.dangling_const:
+            # bug-compat (reference sindy.py:59): const stays a parameter —
+            # ZERO Mmap columns (it never reaches Xi) but it still feeds the
+            # kernel's L1 term and the per-group convergence delta
+            cols.append(np.zeros((d * p, d), np.float32))
         Mmap = np.concatenate(cols, axis=1)
         n_params = Mmap.shape[1]
     else:
         Mmap = None
         n_params = d * p
 
+    has_const = cfg.constraint and (cfg.allow_constant or cfg.dangling_const)
     pcfg = PLBFGSConfig(
         d=d, p=p, n_params=n_params, num_epochs=hp.num_epochs,
         inner_iters=hp.inner_iters, lr=hp.lr_sindy, w_x=hp.w_sindy_x,
@@ -185,7 +191,7 @@ def _pallas_setup(cfg, Q, hp):
         st_freq=hp.st_freq, threshold=hp.threshold, tol=hp.tol,
         # beta and const are separate torch Parameters: the convergence
         # delta must sum their norms separately (reference train.py)
-        n_beta=(n_free if (cfg.constraint and cfg.allow_constant) else None),
+        n_beta=(n_free if has_const else None),
     )
     return pcfg, Mmap, n_params
 

@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--distill_latent", action="store_true")
     parser.add_argument("--eq_constraint", action="store_true")
     parser.add_argument("--constrain_constant", action="store_true")
+    # bug-compat: keep the reference's dangling const Parameter under
+    # --constrain_constant (feeds L1 + convergence norm; sindy.py:59)
+    parser.add_argument("--compat_dangling_const", action="store_true")
     parser.add_argument("--int_t", type=float, default=0.1)
     parser.add_argument("--int_dt", type=float, default=0.01)
     parser.add_argument("--sindy_optimizer", type=str, default="adam")

@@ -247,3 +247,144 @@ def test_optax_lbfgs_matches_torch_trajectory():
 
     np.testing.assert_allclose(np.asarray(xi_of(state["params"])),
                                Xi_t.detach().numpy(), atol=1e-3, rtol=1e-4)
+
+
+def test_dangling_const_compat_matches_torch():
+    """Bug-compat flag for reference sindy.py:59: under constrain_constant
+    the reference STILL registers `const` as an nn.Parameter, so with L1
+    regularization it contributes |const| to the loss, sign(const) to the
+    joint L-BFGS direction/curvature history, and its update norm to the
+    convergence delta. dangling_const=True must track torch iterate-for-
+    iterate on a constrained problem; the default (False) must not carry a
+    const parameter at all."""
+    torch = __import__("pytest").importorskip("torch")
+
+    from symmetry_ode_discovery_tpu.training import siged
+
+    rng = np.random.default_rng(1)
+    L = np.array([[2.0, 0.0], [0.0, 1.0]])  # growth scaling2
+    cfg_clean, Q = make_config(2, poly_order=2, L_list=[L],
+                               constrain_constant=True, threshold=5e-2)
+    cfg_compat, Q2 = make_config(2, poly_order=2, L_list=[L],
+                                 constrain_constant=True, threshold=5e-2,
+                                 dangling_const=True)
+    np.testing.assert_array_equal(np.asarray(Q), np.asarray(Q2))
+    d, p, q = 2, cfg_clean.n_terms, cfg_clean.n_free
+
+    # default behavior: no const parameter registered
+    initp, _ = siged._make_param_fns(cfg_clean, jnp.asarray(Q))
+    assert "const" not in initp(jax.random.PRNGKey(0))
+    initp_c, xi_of = siged._make_param_fns(cfg_compat, jnp.asarray(Q))
+    assert "const" in initp_c(jax.random.PRNGKey(0))
+
+    N = 150
+    x = rng.standard_normal((N, d)).astype(np.float32)
+    theta = np.asarray(cfg_compat.library(jnp.asarray(x)))
+    beta_true = rng.standard_normal(q).astype(np.float32)
+    Xi_true = (np.asarray(Q) @ beta_true).reshape(d, p)
+    dx = 10.0 * (theta @ Xi_true.T) + rng.standard_normal((N, d)).astype(np.float32)
+    beta0 = (0.1 * rng.standard_normal(q)).astype(np.float32)
+    const0 = rng.standard_normal((d, 1)).astype(np.float32)
+    LR, INNER, EPOCHS, WREG = 1.0, 1, 10, 0.05
+
+    # --- torch reference: const is a Parameter that only enters via L1 ---
+    Qt = torch.tensor(np.asarray(Q, np.float32))
+    beta_t = torch.tensor(beta0.copy(), requires_grad=True)
+    const_t = torch.tensor(const0.copy(), requires_grad=True)
+    theta_t, dx_t = torch.tensor(theta), torch.tensor(dx)
+    opt_t = torch.optim.LBFGS([beta_t, const_t], lr=LR, max_iter=INNER,
+                              tolerance_grad=1e-7, tolerance_change=1e-9,
+                              history_size=100, line_search_fn=None)
+    t_losses = []
+    for _ in range(EPOCHS):
+        def closure():
+            opt_t.zero_grad()
+            Xi = (Qt @ beta_t).reshape(d, p)
+            loss = (torch.mean((theta_t @ Xi.T - dx_t) ** 2)
+                    + WREG * (torch.norm(beta_t, 1) + torch.norm(const_t, 1)))
+            loss.backward()
+            return loss
+        opt_t.step(closure)
+        with torch.no_grad():
+            Xi = (Qt @ beta_t).reshape(d, p)
+            t_losses.append(float(
+                torch.mean((theta_t @ Xi.T - dx_t) ** 2)
+                + WREG * (torch.norm(beta_t, 1) + torch.norm(const_t, 1))))
+
+    # --- ours, compat path ---
+    hp = siged.LBFGSHParams(num_epochs=EPOCHS, inner_iters=INNER, lr_sindy=LR,
+                            sindy_reg_type="l1", w_sindy_reg=WREG, st_freq=0,
+                            threshold=0.0, w_sindy_x=1.0, tol=0.0,
+                            linesearch=False)
+    opt = siged._make_opt(hp)
+    thetaj, dxj = jnp.asarray(theta), jnp.asarray(dx)
+
+    def loss_fn(params, mask):
+        Xi = xi_of(params)
+        mse = jnp.mean((thetaj @ (Xi * mask).T - dxj) ** 2)
+        l1 = sum(jnp.sum(jnp.abs(pp))
+                 for pp in jax.tree_util.tree_leaves(params))
+        return mse + WREG * l1
+
+    params0 = {"beta": jnp.asarray(beta0.copy()),
+               "const": jnp.asarray(const0.copy())}
+    state = siged._init_loop_state(params0, opt, jnp.ones((d, p)), hp)
+    for ep in range(EPOCHS):
+        state = siged._lbfgs_epoch_update(opt, hp, xi_of, loss_fn, state, ep)
+        ours = float(loss_fn(state["params"], jnp.ones((d, p))))
+        # 1e-4: the L1 sign() near zero amplifies f32 rounding after a few
+        # epochs (measured max rel delta 1.5e-5 over the 10-epoch run)
+        assert abs(ours - t_losses[ep]) / abs(t_losses[ep]) < 1e-4, (ep, ours)
+    np.testing.assert_allclose(np.asarray(state["params"]["beta"]),
+                               beta_t.detach().numpy(), atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(state["params"]["const"]),
+                               const_t.detach().numpy(), atol=1e-3, rtol=1e-4)
+
+
+def test_dangling_const_pallas_kernel():
+    """The Pallas kernel path: dangling const rides as zero Mmap columns.
+    With w_reg=0 its gradient is identically zero, so given the same beta
+    draw the compat kernel must reproduce the clean kernel's Xi exactly;
+    with L1 on, the trajectories must diverge (const perturbs the joint
+    curvature history, like torch)."""
+    from symmetry_ode_discovery_tpu.ops.pallas_lbfgs import pallas_lbfgs_sweep
+    from symmetry_ode_discovery_tpu.training.sweep import _pallas_setup
+
+    rng = np.random.default_rng(2)
+    L = np.array([[2.0, 0.0], [0.0, 1.0]])
+    mk = lambda dang: make_config(2, poly_order=2, L_list=[L],
+                                  constrain_constant=True, threshold=5e-2,
+                                  dangling_const=dang)
+    cfg_clean, Q = mk(False)
+    cfg_compat, _ = mk(True)
+    d, p, q = 2, cfg_clean.n_terms, cfg_clean.n_free
+
+    N = 100
+    x = rng.standard_normal((N, d)).astype(np.float32)
+    theta = np.asarray(cfg_clean.library(jnp.asarray(x)))
+    dx = rng.standard_normal((N, d)).astype(np.float32)
+    S = jnp.asarray((theta.T @ theta)[None])
+    B = jnp.asarray((theta.T @ dx).T[None])
+    qv = jnp.asarray([float(np.sum(dx ** 2))])
+    ne = jnp.asarray([float(dx.size)])
+    beta0 = rng.standard_normal((1, q)).astype(np.float32)
+    const0 = rng.standard_normal((1, d)).astype(np.float32)
+
+    def run(cfg_m, wreg, th0):
+        hp = LBFGSHParams(num_epochs=8, lr_sindy=1.0, w_sindy_reg=wreg,
+                          sindy_reg_type="l1" if wreg else "none",
+                          st_freq=0, threshold=0.0, tol=0.0)
+        pcfg, Mmap, n_params = _pallas_setup(cfg_m, Q, hp)
+        assert th0.shape[1] == n_params
+        th, _, _ = pallas_lbfgs_sweep(pcfg, S, B, qv, ne, jnp.asarray(th0),
+                                      Mmap=Mmap, interpret=True)
+        return np.asarray(th @ jnp.asarray(Mmap).T).reshape(d, p)
+
+    th0_compat = np.concatenate([beta0, const0], axis=1)
+    xi_clean = run(cfg_clean, 0.0, beta0)
+    xi_compat0 = run(cfg_compat, 0.0, th0_compat)
+    np.testing.assert_allclose(xi_clean, xi_compat0, rtol=1e-6, atol=1e-7)
+
+    xi_clean_l1 = run(cfg_clean, 0.05, beta0)
+    xi_compat_l1 = run(cfg_compat, 0.05, th0_compat)
+    assert np.abs(xi_clean_l1 - xi_compat_l1).max() > 1e-5

@@ -114,8 +114,14 @@ def main():
     levels = [nl for nl in ALL_LEVELS if os.path.exists(os.path.join(
         DATA_PATH,
         f"{args.system}-train-noise{int(100 * nl):02d}-gp-x.npy"))]
+    skipped = [nl for nl in ALL_LEVELS if nl not in levels]
+    if skipped:
+        print(f"skipping levels with no GP cache: {skipped} (generate via "
+              f"python -m symmetry_ode_discovery_tpu.data.gen)",
+              file=sys.stderr)
     if not levels:
-        print(json.dumps({"error": f"no {args.system} GP caches present"}))
+        print(json.dumps({"error": f"no {args.system} GP caches present",
+                          "skipped_levels": [f"{nl:.2f}" for nl in skipped]}))
         return 1
 
     ds = [ODEDataset.make(args.system, "train", noise=nl, smoothing="gp")
@@ -174,6 +180,7 @@ def main():
     print(json.dumps({
         "metric": f"{args.system}_noise_curve",
         "n_seeds": args.n_seeds, "levels": [f"{nl:.2f}" for nl in levels],
+        "skipped_levels": [f"{nl:.2f}" for nl in skipped],
         "success_by_noise": summary,
         "wall_s": {m: round(w, 3) for m, w in walls.items()},
         "device": str(jax.devices()[0]),
