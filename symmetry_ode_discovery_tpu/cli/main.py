@@ -120,6 +120,8 @@ def run(args: dict) -> dict:
             trainer, x_train, x_val, key, dx_train=dx_train, dx_val=dx_val,
             log_interval=args["log_interval"], print_li=args["print_li"],
             logger=logger,
+            save_interval=args["save_interval"], save_dir=args["save_dir"],
+            resume=args.get("resume", False),
         )
         logger.finish()
         ckpt.save_laligan(args["save_dir"], bundle, bstats)

@@ -406,18 +406,51 @@ def train_lassi(
     print_li: bool = False,
     verbose: bool = True,
     logger=None,
+    save_interval: int = 0,
+    save_dir: Optional[str] = None,
+    resume: bool = False,
 ):
     """Run the full training loop; returns (bundle, batch_stats, sindy_carry,
     history). `logger` (utils.metrics.MetricsLogger) receives per-epoch
-    metrics — the wandb.log equivalent (reference train.py:258)."""
+    metrics — the wandb.log equivalent (reference train.py:258).
+
+    Periodic checkpointing (reference train.py:260-269 saves epoch-suffixed
+    model files every save_interval): with save_interval > 0 and a save_dir,
+    the FULL training state (bundle, batch stats, optimizer state, sindy
+    carry, PRNG key, metric history) is snapshotted to
+    saved_models/<save_dir>/train_state_epNNNNN.npz every save_interval
+    epochs. `resume=True` restores the newest snapshot and continues — the
+    resumed run is bit-identical to an uninterrupted one with the same
+    settings (the saved key reflects all per-epoch and eval splits; keep
+    log_interval/x_val the same across restarts for exact key-stream
+    alignment)."""
+    from ..utils import checkpoint as ckpt
+
     hp = trainer.hp
     if dx_train is None:
         dx_train = x_train  # placeholder; unused without include_sindy
     key, kinit = jax.random.split(key)
     bundle, batch_stats, opt_state, sindy_carry = trainer.init(kinit, x_train)
-    prev_state = (bundle, batch_stats, opt_state, sindy_carry)
     history = []
-    for epoch in range(hp.num_epochs):
+    start_epoch = 0
+    if resume and save_dir is not None:
+        found = ckpt.latest_train_state(save_dir)
+        if found is not None:
+            path, start_epoch = found
+            like = {"bundle": bundle, "batch_stats": batch_stats,
+                    "opt_state": opt_state, "sindy_carry": sindy_carry,
+                    "key": key}
+            state, history = ckpt.load_train_state(path, like)
+            bundle, batch_stats = state["bundle"], state["batch_stats"]
+            opt_state, sindy_carry = state["opt_state"], state["sindy_carry"]
+            key = state["key"]
+            if verbose:
+                print(f"Resumed from {path} (epochs done: {start_epoch})")
+        elif verbose:
+            print(f"resume requested but no train_state_ep*.npz under "
+                  f"saved_models/{save_dir}; starting fresh")
+    prev_state = (bundle, batch_stats, opt_state, sindy_carry)
+    for epoch in range(start_epoch, hp.num_epochs):
         key, sub = jax.random.split(key)
         bundle, batch_stats, opt_state, sindy_carry, metrics = trainer.epoch(
             bundle, batch_stats, opt_state, sindy_carry, x_train, dx_train, sub
@@ -457,4 +490,14 @@ def train_lassi(
             if print_li:
                 for L in lg.getLi(trainer.spec, bundle["g"]):
                     print(np.asarray(L))
+        if (save_interval > 0 and save_dir is not None
+                and (epoch + 1) % save_interval == 0):
+            # saved AFTER the eval/log block so the stored key reflects every
+            # split consumed this epoch — resume continues the exact stream
+            ckpt.save_train_state(
+                ckpt.train_state_path(save_dir, epoch + 1),
+                {"bundle": bundle, "batch_stats": batch_stats,
+                 "opt_state": opt_state, "sindy_carry": sindy_carry,
+                 "key": key},
+                history)
     return bundle, batch_stats, sindy_carry, history

@@ -49,6 +49,58 @@ def load_pytree(path: str, like: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+_HIST = "__hist__/"
+
+
+def save_train_state(path: str, state: Any, history=()) -> None:
+    """Persist a full mid-training snapshot (reference train.py:260-269's
+    epoch-suffixed saves, extended with optimizer state + PRNG key + metric
+    history so an interrupted run resumes bit-identically — on this tunnel,
+    where the worker dies at ~3-4 min, this matters more than it did for the
+    reference). `state` is any pytree (bundle/batch_stats/opt_state/...)."""
+    flat, _ = _flatten(state)
+    for k in (history[0].keys() if history else ()):
+        flat[_HIST + k] = np.asarray([h[k] for h in history], np.float64)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_train_state(path: str, like: Any):
+    """Restore (state, history) saved by save_train_state. `like` is a
+    template pytree with the target treedef (e.g. fresh trainer.init output
+    plus epoch/key leaves)."""
+    state = load_pytree(path, like)
+    data = np.load(path, allow_pickle=False)
+    hist_keys = sorted(k for k in data.files if k.startswith(_HIST))
+    n = len(data[hist_keys[0]]) if hist_keys else 0
+    history = [{k[len(_HIST):]: float(data[k][i]) for k in hist_keys}
+               for i in range(n)]
+    return state, history
+
+
+def latest_train_state(save_dir: str, root: str = "saved_models"):
+    """(path, epochs_done) of the newest train_state_ep*.npz under
+    root/save_dir, or None if there is none."""
+    import re
+
+    d = os.path.join(root, save_dir)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for f in os.listdir(d):
+        m = re.fullmatch(r"train_state_ep(\d+)\.npz", f)
+        if m:
+            ep = int(m.group(1))
+            if best is None or ep > best[1]:
+                best = (os.path.join(d, f), ep)
+    return best
+
+
+def train_state_path(save_dir: str, epochs_done: int,
+                     root: str = "saved_models") -> str:
+    return os.path.join(root, save_dir, f"train_state_ep{epochs_done:05d}.npz")
+
+
 def save_laligan(save_dir: str, bundle, batch_stats, root: str = "saved_models") -> None:
     """Save the LaLiGAN artifact set with reference-compatible names
     (main.py:108-117; masks saved separately like the reference's

@@ -136,6 +136,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--gpu", type=int, default=0)
     parser.add_argument("--log_interval", type=int, default=1)
     parser.add_argument("--save_interval", type=int, default=100)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume LaLiGAN training from the newest "
+                             "train_state_ep*.npz under saved_models/<save_dir> "
+                             "(periodic snapshots every save_interval epochs)")
     parser.add_argument("--print_li", action="store_true")
     parser.add_argument("--print_eq", action="store_true")
     parser.add_argument("--wandb_name", type=str, default="test")
