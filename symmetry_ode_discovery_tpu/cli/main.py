@@ -321,10 +321,21 @@ def run(args: dict) -> dict:
             # plain / constrained sweeps ride the fused Pallas kernel on TPU
             from ..training.sweep import sweep_sindy_lbfgs
 
+            sub_idx = None
+            if args.get("subsample_perms"):
+                # torch-RNG cross-check mode: per-seed subsample indices
+                # dumped from the instrumented reference DataLoader
+                # (tools/refrun_dump_subsample.py) — keyed by seed
+                with np.load(args["subsample_perms"]) as z:
+                    dump_seeds = list(np.asarray(z["seeds"]))
+                    rows = [dump_seeds.index(s)
+                            for s in range(seed, seed + n_seeds)]
+                    sub_idx = np.asarray(z["idx"])[rows]
             res = sweep_sindy_lbfgs(cfg, Q, x_all, dx_all, truth, hp,
                                     np.arange(seed, seed + n_seeds),
                                     lbfgs_subsample=args["lbfgs_subsample"],
-                                    n_mesh_devices=args.get("mesh_devices", 0))
+                                    n_mesh_devices=args.get("mesh_devices", 0),
+                                    subsample_idx=sub_idx)
             results = res.results_list()
             for i, s in enumerate(range(seed, seed + n_seeds)):
                 save_eval_results(results[i], args["save_dir"], s)

@@ -96,6 +96,7 @@ def sweep_sindy_lbfgs(
     lbfgs_subsample: float = 1.0,
     n_mesh_devices: Optional[int] = None,
     backend: str = "auto",
+    subsample_idx: Optional[np.ndarray] = None,
 ) -> SweepResult:
     """Vmapped/sharded SINDy or EquivSINDy-c discovery sweep (LBFGS path).
 
@@ -103,10 +104,16 @@ def sweep_sindy_lbfgs(
     fused on-core kernel, ops/pallas_lbfgs.py — torch-style fixed-lr L-BFGS,
     ~500x faster on TPU), or 'auto' (pallas on TPU when the protocol has no
     symmetry penalty / latent space, else optax).
+
+    subsample_idx: optional (n_seeds, k) externally-supplied per-seed
+    subsample indices (torch-RNG cross-check mode; see _prep_normal_eq).
     """
     n = x.shape[0]
     k = int(n * lbfgs_subsample)
     Qj = jnp.asarray(Q) if Q is not None else None
+    if subsample_idx is not None:
+        assert subsample_idx.shape == (len(seeds), k), (
+            f"subsample_idx {subsample_idx.shape} != ({len(seeds)}, {k})")
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "optax"
@@ -116,44 +123,62 @@ def sweep_sindy_lbfgs(
         backend = "optax"
 
     if backend == "pallas":
+        mesh = None
         if n_mesh_devices and n_mesh_devices > 1:
-            # the 50-seed kernel solve is 68 ms — sharding it buys nothing
-            print("sweep: pallas backend runs the fused single-device kernel; "
-                  f"--mesh_devices={n_mesh_devices} not used on this path")
-        return _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k)
+            if len(seeds) % n_mesh_devices == 0:
+                mesh = make_mesh(n_mesh_devices)
+            else:
+                print(f"sweep: {len(seeds)} seeds not divisible by "
+                      f"{n_mesh_devices} devices; single-device kernel")
+        return _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k,
+                                   subsample_idx=subsample_idx, mesh=mesh)
 
-    def run_one(seed):
+    def run_one(seed, idx_row=None):
         key = jax.random.PRNGKey(0)
         key = jax.random.fold_in(key, seed)
         kperm, kinit = jax.random.split(key)
-        idx = jax.random.permutation(kperm, n)[:k]
+        idx = (jax.random.permutation(kperm, n)[:k] if idx_row is None
+               else idx_row)
         res = train_sindy_lbfgs(cfg, Qj, x[idx], dx[idx], hp, kinit)
         return res.Xi, res.mask
 
-    Xi, mask = _maybe_shard(run_one, jnp.asarray(seeds), n_mesh_devices)
+    if subsample_idx is not None:
+        Xi, mask = jax.jit(jax.vmap(run_one))(jnp.asarray(seeds),
+                                              jnp.asarray(subsample_idx))
+    else:
+        Xi, mask = _maybe_shard(run_one, jnp.asarray(seeds), n_mesh_devices)
     return _finalize(Xi, mask, truth)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _prep_normal_eq(cfg, k, n_params, x, dx, seeds):
+def _prep_normal_eq(cfg, k, n_params, x, dx, seeds, idx=None):
     """Per-seed subsample + normal-equation reduction, jit-cached on
-    (cfg, k, n_params, shapes) so repeated sweeps don't recompile."""
+    (cfg, k, n_params, shapes) so repeated sweeps don't recompile.
+
+    idx: optional (n_seeds, k) int array of externally-supplied subsample
+    indices (e.g. the reference's actual torch-DataLoader draws, dumped by
+    tools/refrun_dump_subsample.py) replacing the jax per-seed permutation —
+    the param init stays the per-seed jax draw (the L-BFGS fit converges to
+    the subsample's lstsq optimum, so init does not steer outcomes)."""
     n = x.shape[0]
     lib = cfg.library
 
-    def prep(seed):
+    def prep(seed, idx_row):
         key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
         kperm, kinit = jax.random.split(key)
-        idx = jax.random.permutation(kperm, n)[:k]
-        th = lib(x[idx])
-        dxi = dx[idx]
+        if idx_row is None:
+            idx_row = jax.random.permutation(kperm, n)[:k]
+        th = lib(x[idx_row])
+        dxi = dx[idx_row]
         S = th.T @ th
         B = (th.T @ dxi).T
         q = jnp.sum(dxi ** 2)
         th0 = jax.random.normal(kinit, (n_params,))
         return S, B, q, jnp.asarray(float(dxi.size)), th0
 
-    return jax.vmap(prep)(seeds)
+    if idx is None:
+        return jax.vmap(lambda s: prep(s, None))(seeds)
+    return jax.vmap(prep)(seeds, jnp.asarray(idx))
 
 
 def _pallas_setup(cfg, Q, hp):
@@ -196,16 +221,38 @@ def _pallas_setup(cfg, Q, hp):
     return pcfg, Mmap, n_params
 
 
-def _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k, interpret=False):
-    """Fused-kernel sweep: per-seed normal-equation reduction on device, then
-    one kernel launch for the whole protocol."""
+def _pallas_kernel_launch(pcfg, Mmap, interpret, mesh=None):
+    """The (optionally mesh-sharded) fused-kernel launch.
+
+    With a mesh, the seed axis is sharded over its devices via shard_map:
+    each device runs the SAME fused kernel on its local seed shard — the
+    v5e-8 deployment shape of the bench sweep (embarrassingly parallel, no
+    collectives; seeds must divide by the mesh size)."""
     from ..ops.pallas_lbfgs import pallas_lbfgs_sweep
 
+    def launch(S, B, q, ne, th0):
+        return pallas_lbfgs_sweep(pcfg, S, B, q, ne, th0, Mmap=Mmap,
+                                  interpret=interpret)
+
+    if mesh is None:
+        return launch
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    return jax.jit(jax.shard_map(launch, mesh=mesh, in_specs=P(axis),
+                                 out_specs=P(axis), check_vma=False))
+
+
+def _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k, interpret=False,
+                        subsample_idx=None, mesh=None):
+    """Fused-kernel sweep: per-seed normal-equation reduction on device, then
+    one kernel launch for the whole protocol."""
     d, p = cfg.latent_dim, cfg.n_terms
     pcfg, Mmap, n_params = _pallas_setup(cfg, Q, hp)
-    S, B, q, ne, th0 = _prep_normal_eq(cfg, k, n_params, x, dx, jnp.asarray(seeds))
-    th, mask, _ = pallas_lbfgs_sweep(pcfg, S, B, q, ne, th0, Mmap=Mmap,
-                                     interpret=interpret)
+    S, B, q, ne, th0 = _prep_normal_eq(cfg, k, n_params, x, dx,
+                                       jnp.asarray(seeds), subsample_idx)
+    launch = _pallas_kernel_launch(pcfg, Mmap, interpret, mesh)
+    th, mask, _ = launch(S, B, q, ne, th0)
     Xi = (jnp.asarray(th) @ jnp.asarray(Mmap).T if Mmap is not None
           else jnp.asarray(th)).reshape(len(seeds), d, p)
     return _finalize(Xi, mask, truth)
@@ -221,6 +268,7 @@ def sweep_sindy_lbfgs_stacked(
     seeds: np.ndarray,
     lbfgs_subsample: float = 1.0,
     interpret: bool = False,
+    mesh=None,
 ):
     """Datasets x seeds SINDy/EquivSINDy-c sweep in one device program.
 
@@ -233,13 +281,15 @@ def sweep_sindy_lbfgs_stacked(
     launch. Per-(dataset, seed) lanes use exactly the per-seed protocol of
     sweep_sindy_lbfgs (same PRNG fold-in), so each dataset's results are
     identical to running its own sweep. Returns a list of L SweepResult.
-    """
-    from ..ops.pallas_lbfgs import pallas_lbfgs_sweep
 
+    mesh: optional seed-axis mesh — each per-dataset launch is shard_map-ed
+    over it (the v5e-8 shape of the bench sweep; len(seeds) must divide).
+    """
     d, p = cfg.latent_dim, cfg.n_terms
     pcfg, Mmap, n_params = _pallas_setup(cfg, Q, hp)
     seeds_j = jnp.asarray(seeds)
     n_seeds = len(seeds)
+    launch = _pallas_kernel_launch(pcfg, Mmap, interpret, mesh)
 
     # Per-dataset prep + launch, all async: one jitted prep program and one
     # compiled kernel, each dispatched L times with no host round-trips.
@@ -248,8 +298,7 @@ def sweep_sindy_lbfgs_stacked(
         S, B, q, ne, th0 = _prep_normal_eq(
             cfg, int(x.shape[0] * lbfgs_subsample), n_params,
             jnp.asarray(x), jnp.asarray(dx), seeds_j)
-        th, mask, _ = pallas_lbfgs_sweep(pcfg, S, B, q, ne, th0, Mmap=Mmap,
-                                         interpret=interpret)
+        th, mask, _ = launch(S, B, q, ne, th0)
         Xi = (th @ jnp.asarray(Mmap).T if Mmap is not None else th
               ).reshape(n_seeds, d, p)
         outs.append((Xi, mask))

@@ -155,6 +155,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dp_devices", type=int, default=0,
                         help="data-parallel LaLiGAN training: shard each batch over "
                              "this many devices (pjit batch sharding; 0/1 = off)")
+    parser.add_argument("--subsample_perms", type=str, default=None,
+                        help="npz of externally-supplied per-seed subsample "
+                             "indices (keys: seeds, idx) — e.g. the reference "
+                             "DataLoader's actual torch-RNG draws dumped by "
+                             "tools/refrun_dump_subsample.py; plain/constrained "
+                             "L-BFGS sweeps only")
     parser.add_argument("--symreg_slow", action="store_true",
                         help="disable the precomputed fast path for sym_reg_type=i")
     parser.add_argument("--ae_dtype", type=str, default="f32", choices=["f32", "bf16"],

@@ -388,3 +388,49 @@ def test_dangling_const_pallas_kernel():
     xi_clean_l1 = run(cfg_clean, 0.05, beta0)
     xi_compat_l1 = run(cfg_compat, 0.05, th0_compat)
     assert np.abs(xi_clean_l1 - xi_compat_l1).max() > 1e-5
+
+
+def test_subsample_idx_override_matches_and_steers():
+    """Externally-supplied per-seed subsample indices (the torch-RNG
+    cross-check mode): feeding the sweep the indices the jax PRNG would have
+    drawn reproduces the default sweep bit-for-bit on both backends, and
+    distinct rows actually change the fit (the override is live)."""
+    from symmetry_ode_discovery_tpu.training.sweep import _pallas_lbfgs_sweep
+
+    x, dx = _dosc()
+    xf, dxf = x.reshape(-1, 2), dx.reshape(-1, 2)
+    n = xf.shape[0]
+    k = n // 2
+    cfg, _ = make_config(2, poly_order=2)
+    hp = LBFGSHParams(num_epochs=10, lr_sindy=1.0, sindy_reg_type="none",
+                      st_freq=5, threshold=5e-2)
+    seeds = np.arange(3)
+
+    def jax_idx(seed):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+        kperm, _ = jax.random.split(key)
+        return np.asarray(jax.random.permutation(kperm, n)[:k])
+
+    idx = np.stack([jax_idx(s) for s in seeds])
+
+    # optax backend
+    base = sweep_sindy_lbfgs(cfg, None, xf, dxf, sindy_truth["dosc"], hp,
+                             seeds, lbfgs_subsample=0.5, backend="optax")
+    ours = sweep_sindy_lbfgs(cfg, None, xf, dxf, sindy_truth["dosc"], hp,
+                             seeds, lbfgs_subsample=0.5, backend="optax",
+                             subsample_idx=idx)
+    np.testing.assert_array_equal(base.Xi, ours.Xi)
+
+    # pallas kernel (interpret on the CPU mesh)
+    base_p = _pallas_lbfgs_sweep(cfg, None, xf, dxf, sindy_truth["dosc"],
+                                 hp, seeds, k, interpret=True)
+    same_p = _pallas_lbfgs_sweep(cfg, None, xf, dxf, sindy_truth["dosc"],
+                                 hp, seeds, k, interpret=True,
+                                 subsample_idx=idx)
+    np.testing.assert_array_equal(base_p.Xi, same_p.Xi)
+
+    # a different subsample per seed changes the fitted coefficients
+    other = _pallas_lbfgs_sweep(cfg, None, xf, dxf, sindy_truth["dosc"],
+                                hp, seeds, k, interpret=True,
+                                subsample_idx=np.roll(idx, 1, axis=0))
+    assert not np.array_equal(np.asarray(base_p.Xi), np.asarray(other.Xi))
