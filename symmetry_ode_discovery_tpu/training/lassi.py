@@ -409,6 +409,7 @@ def train_lassi(
     save_interval: int = 0,
     save_dir: Optional[str] = None,
     resume: bool = False,
+    max_snapshots: int = 3,
 ):
     """Run the full training loop; returns (bundle, batch_stats, sindy_carry,
     history). `logger` (utils.metrics.MetricsLogger) receives per-epoch
@@ -423,7 +424,8 @@ def train_lassi(
     resumed run is bit-identical to an uninterrupted one with the same
     settings (the saved key reflects all per-epoch and eval splits; keep
     log_interval/x_val the same across restarts for exact key-stream
-    alignment)."""
+    alignment). Only the newest `max_snapshots` snapshots are retained
+    (each carries the full optimizer state — 154 MB for the RD AE)."""
     from ..utils import checkpoint as ckpt
 
     hp = trainer.hp
@@ -500,4 +502,5 @@ def train_lassi(
                  "opt_state": opt_state, "sindy_carry": sindy_carry,
                  "key": key},
                 history)
+            ckpt.prune_train_states(save_dir, keep=max_snapshots)
     return bundle, batch_stats, sindy_carry, history

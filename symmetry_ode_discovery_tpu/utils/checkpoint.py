@@ -101,6 +101,27 @@ def train_state_path(save_dir: str, epochs_done: int,
     return os.path.join(root, save_dir, f"train_state_ep{epochs_done:05d}.npz")
 
 
+def prune_train_states(save_dir: str, keep: int,
+                       root: str = "saved_models") -> None:
+    """Delete all but the newest `keep` train_state_ep*.npz snapshots.
+
+    Resume snapshots carry the full optimizer state (154 MB each for the RD
+    autoencoder), so unbounded retention is a disk leak — orbax-style
+    max_to_keep semantics instead. keep <= 0 disables pruning."""
+    import re
+
+    if keep <= 0:
+        return
+    d = os.path.join(root, save_dir)
+    if not os.path.isdir(d):
+        return
+    snaps = sorted(
+        (int(m.group(1)), f) for f in os.listdir(d)
+        if (m := re.fullmatch(r"train_state_ep(\d+)\.npz", f)))
+    for _, f in snaps[:-keep]:
+        os.remove(os.path.join(d, f))
+
+
 def save_laligan(save_dir: str, bundle, batch_stats, root: str = "saved_models") -> None:
     """Save the LaLiGAN artifact set with reference-compatible names
     (main.py:108-117; masks saved separately like the reference's

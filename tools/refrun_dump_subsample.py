@@ -42,6 +42,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # `python tools/<me>.py` puts tools/ first instead
+    sys.path.insert(0, REPO)
 REFRUN = os.environ.get("SODT_REFRUN", "/tmp/refrun")
 REF = "/root/reference"
 
