@@ -167,6 +167,7 @@ def run(args: dict) -> dict:
         # symreg losses, where the zoom linesearch would embed the big
         # autodiff graph several times per iteration.
         linesearch=False,
+        dir_backend=args.get("lbfgs_dir_backend", "xla"),
     )
     sym_reg_fn = None
     sym_reg_prep = None

@@ -56,6 +56,12 @@ class LBFGSHParams:
     # implements. True = optax zoom linesearch (an optimization upgrade the
     # reference never had; changes sweep statistics).
     linesearch: bool = False
+    # Two-loop direction engine for the fixed-lr path: 'xla' = optax
+    # scale_by_lbfgs (~8*memory tiny HLOs per closure — half the flagship
+    # sweep's device time in the XPlane profile), 'pallas' = the same
+    # algorithm as ONE VMEM kernel (ops/pallas_lbfgs_dir.py). Identical
+    # math modulo f32 grouping; parity guarded by tests/test_lbfgs_dir.py.
+    dir_backend: str = "xla"
 
 
 @struct.dataclass
@@ -295,6 +301,11 @@ def _make_opt(hp: LBFGSHParams):
     # torch.optim.LBFGS's history_size default (100, what the reference
     # runs, train.py:630) — optax's default 10 truncates the curvature
     # history after half an epoch (inner_iters=20) and changes directions.
+    if hp.dir_backend == "pallas":
+        from ..ops.pallas_lbfgs_dir import lbfgs_pallas
+
+        return lbfgs_pallas(hp.lr_sindy, memory_size=100,
+                            interpret=jax.default_backend() == "cpu")
     return optax.lbfgs(hp.lr_sindy, linesearch=None, memory_size=100)
 
 

@@ -168,6 +168,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "symreg penalty (bf16 = MXU fast path)")
     parser.add_argument("--epochs_per_call", type=int, default=10,
                         help="epochs fused per device call in host-stepped sweeps")
+    parser.add_argument("--lbfgs_dir_backend", type=str, default="xla",
+                        choices=["xla", "pallas"],
+                        help="two-loop L-BFGS direction engine for host-"
+                             "stepped (symreg/latent) fits: 'pallas' runs the "
+                             "100-pair recursion as one VMEM kernel instead "
+                             "of ~800 tiny HLOs per closure")
     parser.add_argument("--symmpen_pallas", action="store_true",
                         help="fuse the frozen-AE work of the symreg-i penalty into "
                              "VMEM-resident Pallas kernels (ops/pallas_symmpen.py); "

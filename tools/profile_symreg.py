@@ -63,7 +63,8 @@ def main():
                       w_sindy_x=args["w_sindy_x"], w_sindy_reg=args["w_sindy_reg"],
                       sindy_reg_type=args["sindy_reg_type"],
                       w_sym_reg=args["w_sym_reg"], st_freq=args["st_freq"],
-                      threshold=args["threshold"], linesearch=False)
+                      threshold=args["threshold"], linesearch=False,
+                      dir_backend=args.get("lbfgs_dir_backend", "xla"))
     ae_dtype = {"bf16": jnp.bfloat16, "f32": None}[args.get("ae_dtype", "f32")]
     use_pallas = bool(args.get("symmpen_pallas"))
     fused_lib = None if args.get("no_fused_rollout") else cfg.library

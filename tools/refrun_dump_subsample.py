@@ -128,9 +128,10 @@ def phase_setup(task: str, noise: float):
     print(f"refrun ready at {REFRUN}")
 
 
-def phase_run(config: str, n_seeds: int, timeout_s: float):
+def phase_run(config: str, run_name: str, n_seeds: int, timeout_s: float):
+    os.makedirs(os.path.join(REFRUN, "perms", run_name), exist_ok=True)
     for seed in range(n_seeds):
-        perm_out = os.path.join(REFRUN, "perms", f"seed{seed}.npy")
+        perm_out = os.path.join(REFRUN, "perms", run_name, f"seed{seed}.npy")
         if os.path.exists(perm_out):
             continue
         env = dict(os.environ, SODT_PERM_OUT=perm_out,
@@ -152,7 +153,10 @@ def phase_collect(run_name: str, n_seeds: int, k: int):
     import numpy as np
 
     seeds = np.arange(n_seeds)
-    idx = np.stack([np.load(os.path.join(REFRUN, "perms", f"seed{s}.npy"))[:k]
+    pdir = os.path.join(REFRUN, "perms", run_name)
+    if not os.path.isdir(pdir):  # layout of the first (dosc) dump
+        pdir = os.path.join(REFRUN, "perms")
+    idx = np.stack([np.load(os.path.join(pdir, f"seed{s}.npy"))[:k]
                     for s in seeds])
     out = os.path.join(REPO, "eval_results", f"ref-{run_name}-perms.npz")
     np.savez(out, seeds=seeds, idx=idx)
@@ -207,7 +211,7 @@ def main():
     if args.phase in ("setup", "all"):
         phase_setup(args.task, args.noise)
     if args.phase in ("run", "all"):
-        phase_run(args.config, args.seeds, args.timeout)
+        phase_run(args.config, args.run_name, args.seeds, args.timeout)
     if args.phase in ("collect", "all"):
         import numpy as np
 
