@@ -38,7 +38,8 @@ def run(args: dict) -> dict:
                        w_sindy_reg=args["w_sindy_reg"],
                        threshold=args["threshold"],
                        num_epochs=args["num_epochs"],
-                       n_mesh_devices=args.get("mesh_devices", 0))
+                       n_mesh_devices=args.get("mesh_devices", 0),
+                       subsample_rng=args.get("subsample_rng", "jax"))
 
     results = res.results_list()
     for i, s in enumerate(seeds):

@@ -345,24 +345,46 @@ def sweep_wsindy(
     num_epochs: int = 10,
     num_test_funcs: int = 50,
     n_mesh_devices: Optional[int] = None,
+    subsample_rng: str = "jax",
 ) -> SweepResult:
     """WSINDy sweep: per seed a random trajectory + random 80% window
-    (reference main_wsindy.py:33-43)."""
+    (reference main_wsindy.py:33-43).
+
+    subsample_rng: 'jax' (default, per-seed fold-in) or 'ref' — reproduce
+    the reference's EXACT window draws: main_wsindy.py seeds the legacy
+    numpy RandomState (np.random.seed(seed), main_wsindy.py:27) and draws
+    start then trajectory with np.random.randint (main_wsindy.py:36-37);
+    numpy's MT19937 here IS the reference's, so no instrumented run is
+    needed — the draws are recomputed on the host."""
     n_ics, n_steps, _ = x_trajs.shape
     w = int(0.8 * n_steps)
     t = jnp.arange(w) * dt
     t_max = w * dt
     mats = make_wsindy_matrices(t, float(t_max), num_test_funcs=num_test_funcs)
 
-    def run_one(seed):
+    windows = None
+    if subsample_rng == "ref":
+        draws = []
+        for s in np.asarray(seeds):
+            rs = np.random.RandomState(int(s))
+            draws.append((rs.randint(0, n_steps - w), rs.randint(0, n_ics)))
+        windows = jnp.asarray(np.asarray(draws, np.int32))
+
+    def run_one(seed, window=None):
         key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
         k1, k2, k3 = jax.random.split(key, 3)
-        start = jax.random.randint(k1, (), 0, n_steps - w)
-        traj_idx = jax.random.randint(k2, (), 0, n_ics)
+        if window is None:
+            start = jax.random.randint(k1, (), 0, n_steps - w)
+            traj_idx = jax.random.randint(k2, (), 0, n_ics)
+        else:
+            start, traj_idx = window[0], window[1]
         traj = jax.lax.dynamic_slice_in_dim(x_trajs[traj_idx], start, w, axis=0)
         state = init_sindy(k3, cfg)
         state, _ = solve_wsindy(cfg, state, mats, traj, w_sindy_reg, threshold, num_epochs)
         return get_Xi(cfg, state), state.mask
 
-    Xi, mask = _maybe_shard(run_one, jnp.asarray(seeds), n_mesh_devices)
+    if windows is not None:
+        Xi, mask = jax.jit(jax.vmap(run_one))(jnp.asarray(seeds), windows)
+    else:
+        Xi, mask = _maybe_shard(run_one, jnp.asarray(seeds), n_mesh_devices)
     return _finalize(Xi, mask, truth)

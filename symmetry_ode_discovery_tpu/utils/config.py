@@ -168,6 +168,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "symreg penalty (bf16 = MXU fast path)")
     parser.add_argument("--epochs_per_call", type=int, default=10,
                         help="epochs fused per device call in host-stepped sweeps")
+    parser.add_argument("--subsample_rng", type=str, default="jax",
+                        choices=["jax", "ref"],
+                        help="WSINDy window draws: 'ref' reproduces the "
+                             "reference's np.random stream exactly "
+                             "(main_wsindy.py:27,36-37) for per-seed "
+                             "cross-checks")
     parser.add_argument("--lbfgs_dir_backend", type=str, default="xla",
                         choices=["xla", "pallas"],
                         help="two-loop L-BFGS direction engine for host-"

@@ -85,8 +85,9 @@ def _recording_iter(self):
 RandomSampler.__iter__ = _recording_iter
 
 import runpy
-sys.argv = ["main.py"] + sys.argv[1:]
-runpy.run_path("main.py", run_name="__main__")
+entry = os.environ.get("SODT_ENTRY", "main.py")
+sys.argv = [entry] + sys.argv[1:]
+runpy.run_path(entry, run_name="__main__")
 """
 
 
@@ -128,14 +129,21 @@ def phase_setup(task: str, noise: float):
     print(f"refrun ready at {REFRUN}")
 
 
-def phase_run(config: str, run_name: str, n_seeds: int, timeout_s: float):
+def phase_run(config: str, run_name: str, n_seeds: int, timeout_s: float,
+              entry: str = "main.py"):
+    """entry: the reference script to run. main_wsindy.py draws its
+    subsample with plain np.random (main_wsindy.py:36-38) — derivable
+    without instrumentation, so no perm file is produced there; progress is
+    tracked by the reference's own eval npz instead."""
     os.makedirs(os.path.join(REFRUN, "perms", run_name), exist_ok=True)
     for seed in range(n_seeds):
         perm_out = os.path.join(REFRUN, "perms", run_name, f"seed{seed}.npy")
-        if os.path.exists(perm_out):
+        done_marker = (perm_out if entry == "main.py" else os.path.join(
+            REFRUN, "eval_results", run_name, f"seed{seed}.npz"))
+        if os.path.exists(done_marker):
             continue
         env = dict(os.environ, SODT_PERM_OUT=perm_out,
-                   WANDB_MODE="disabled")
+                   SODT_ENTRY=entry, WANDB_MODE="disabled")
         # drop the axon pin so the subprocess doesn't touch the TPU tunnel
         env.pop("PALLAS_AXON_POOL_IPS", None)
         r = subprocess.run(
@@ -146,7 +154,7 @@ def phase_run(config: str, run_name: str, n_seeds: int, timeout_s: float):
         if r.returncode != 0:
             print(r.stdout[-2000:], r.stderr[-2000:])
             raise RuntimeError(f"reference seed {seed} failed")
-        print(f"seed {seed}: perm + eval recorded")
+        print(f"seed {seed}: eval recorded")
 
 
 def phase_collect(run_name: str, n_seeds: int, k: int):
@@ -156,18 +164,20 @@ def phase_collect(run_name: str, n_seeds: int, k: int):
     pdir = os.path.join(REFRUN, "perms", run_name)
     if not os.path.isdir(pdir):  # layout of the first (dosc) dump
         pdir = os.path.join(REFRUN, "perms")
-    idx = np.stack([np.load(os.path.join(pdir, f"seed{s}.npy"))[:k]
-                    for s in seeds])
-    out = os.path.join(REPO, "eval_results", f"ref-{run_name}-perms.npz")
-    np.savez(out, seeds=seeds, idx=idx)
+    out = None
+    if os.path.exists(os.path.join(pdir, "seed0.npy")):
+        idx = np.stack([np.load(os.path.join(pdir, f"seed{s}.npy"))[:k]
+                        for s in seeds]).astype(np.int32)
+        out = os.path.join(REPO, "eval_results", f"ref-{run_name}-perms.npz")
+        np.savez(out, seeds=seeds.astype(np.int32), idx=idx)
     dst = os.path.join(REPO, "eval_results", f"ref-{run_name}")
     os.makedirs(dst, exist_ok=True)
     for s in seeds:
         shutil.copy2(os.path.join(REFRUN, "eval_results", run_name,
                                   f"seed{s}.npz"),
                      os.path.join(dst, f"seed{s}.npz"))
-    print(f"collected -> {out} and eval_results/ref-{run_name}/ "
-          f"(idx shape {idx.shape})")
+    print(f"collected -> {out or '(no perms)'} and "
+          f"eval_results/ref-{run_name}/")
 
 
 def phase_compare(run_name: str, ours_name: str, n_seeds: int):
@@ -206,20 +216,26 @@ def main():
     ap.add_argument("--seeds", type=int, default=50)
     ap.add_argument("--subsample", type=float, default=0.5)
     ap.add_argument("--timeout", type=float, default=1800.0)
+    ap.add_argument("--entry", default="main.py",
+                    help="reference entry script (main.py / main_wsindy.py)")
     args = ap.parse_args()
 
     if args.phase in ("setup", "all"):
         phase_setup(args.task, args.noise)
     if args.phase in ("run", "all"):
-        phase_run(args.config, args.run_name, args.seeds, args.timeout)
+        phase_run(args.config, args.run_name, args.seeds, args.timeout,
+                  entry=args.entry)
     if args.phase in ("collect", "all"):
         import numpy as np
 
-        x = np.load(os.path.join(
+        k = 0
+        cache = os.path.join(
             REPO, "data",
-            f"{args.task}-train-noise{int(100 * args.noise):02d}-gp-x.npy"))
-        n = x.shape[0] * x.shape[1]
-        phase_collect(args.run_name, args.seeds, int(n * args.subsample))
+            f"{args.task}-train-noise{int(100 * args.noise):02d}-gp-x.npy")
+        if os.path.exists(cache):  # absent for no-perm entries (main_wsindy)
+            x = np.load(cache)
+            k = int(x.shape[0] * x.shape[1] * args.subsample)
+        phase_collect(args.run_name, args.seeds, k)
     if args.phase == "compare":
         phase_compare(args.run_name, args.ours_name, args.seeds)
 
