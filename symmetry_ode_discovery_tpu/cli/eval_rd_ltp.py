@@ -32,11 +32,24 @@ import numpy as np
 
 def _rel_err(pred, true):
     """Per-step relative squared error: MSE over pixels, normalized by the
-    trajectory's time-variance (eval_ltp_sweep.ltp_sweep_errors convention)."""
+    trajectory's time-variance (eval_ltp_sweep.ltp_sweep_errors convention —
+    'does the prediction beat predicting the time-mean field')."""
     import jax.numpy as jnp
 
     scale = jnp.mean(jnp.var(true, axis=0))
     return jnp.mean((pred - true) ** 2, axis=-1) / scale
+
+
+def _rel_err_pow(pred, true):
+    """Same MSE normalized by field POWER (mean true^2) instead — the RD
+    field's per-pixel temporal variance over a 1-time-unit window is tiny
+    relative to its amplitude (the spiral oscillates with period ~8), so the
+    variance-relative number conflates 'cannot express the field' with
+    'cannot track its small temporal variation'; this one isolates the
+    former."""
+    import jax.numpy as jnp
+
+    return jnp.mean((pred - true) ** 2, axis=-1) / jnp.mean(true ** 2)
 
 
 def run(args: dict) -> dict:
@@ -50,9 +63,22 @@ def run(args: dict) -> dict:
     from ..utils import checkpoint as ckpt
 
     data = _load_rd()
-    val = ReactionDiffusionDataset(data, mode="val")
-    x_val = jnp.asarray(val.x)                      # (T, N) held-out snapshots
-    dt = float(val.t[1] - val.t[0])
+    split = args.get("rd_eval_split", "val")
+    if split == "val":
+        ds = ReactionDiffusionDataset(data, mode="val")
+        x_val = jnp.asarray(ds.x)                   # (T, N) held-out snapshots
+        t_axis = ds.t
+    else:
+        # in-distribution control: the LAST 20 TRAIN snapshots. Rolling out
+        # here separates "the latent equation is wrong" from "the AE doesn't
+        # generalize past its training window" — if train-tail rollouts sit
+        # near the train recon floor while val rollouts sit at the (much
+        # higher) val recon floor, the equation is not the bottleneck.
+        ds = ReactionDiffusionDataset(data, mode="train")
+        x_val = jnp.asarray(ds.x[-20:])
+        t_axis = ds.t[-20:]
+    val = ds
+    dt = float(t_axis[1] - t_axis[0])
     args = dict(args, input_dim=val.input_dim)
 
     ae_def, spec, disc = build_models(args)
@@ -91,17 +117,22 @@ def run(args: dict) -> dict:
     rel_latent = _rel_err(z_pred, z_true[1:])
     xhat = ae_def.decode(ae_params, z_true)
     rel_recon = _rel_err(xhat, x_val)
+    pow_rollout = _rel_err_pow(x_pred, x_val[1:])
+    pow_recon = _rel_err_pow(xhat, x_val)
 
     out = {
-        "t": np.asarray(val.t[1:]),
+        "t": np.asarray(t_axis[1:]),
         "rel_rollout": np.asarray(rel_rollout),
         "rel_latent": np.asarray(rel_latent),
         "rel_recon": np.asarray(rel_recon),
+        "pow_rollout": np.asarray(pow_rollout),
+        "pow_recon": np.asarray(pow_recon),
         "z_pred": np.asarray(z_pred),
         "z_true": np.asarray(z_true),
         "Xi": np.asarray(Xi),
     }
-    dst = f"eval_results/rd-ltp-{load_dir}"
+    dst = (f"eval_results/rd-ltp-{load_dir}" if split == "val"
+           else f"eval_results/rd-ltp-{load_dir}-{split}")
     os.makedirs(dst, exist_ok=True)
     np.savez(os.path.join(dst, "rollout.npz"), **out)
     mean_roll = float(np.mean(out["rel_rollout"]))
@@ -112,6 +143,9 @@ def run(args: dict) -> dict:
     print(f"  rollout field rel. MSE (time-mean): {mean_roll:.4g}")
     print(f"  latent rollout rel. MSE:            {mean_lat:.4g}")
     print(f"  AE recon floor rel. MSE:            {mean_rec:.4g}")
+    print(f"  (field-power-normalized: rollout "
+          f"{float(np.mean(out['pow_rollout'])):.4g}, recon floor "
+          f"{float(np.mean(out['pow_recon'])):.4g})")
     print(f"  -> saved {dst}/rollout.npz")
     return out
 

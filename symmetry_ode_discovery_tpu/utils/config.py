@@ -168,6 +168,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "symreg penalty (bf16 = MXU fast path)")
     parser.add_argument("--epochs_per_call", type=int, default=10,
                         help="epochs fused per device call in host-stepped sweeps")
+    parser.add_argument("--rd_eval_split", type=str, default="val",
+                        choices=["val", "traintail"],
+                        help="cli.eval_rd_ltp rollout window: held-out val "
+                             "snapshots or the last 20 train snapshots "
+                             "(in-distribution control)")
     parser.add_argument("--subsample_rng", type=str, default="jax",
                         choices=["jax", "ref"],
                         help="WSINDy window draws: 'ref' reproduces the "
