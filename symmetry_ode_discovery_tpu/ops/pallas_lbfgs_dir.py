@@ -149,7 +149,14 @@ def two_loop_direction(g, s_chrono, y_chrono, rho_chrono, gamma,
     gamma: scalar. Returns (n,).
     """
     n = s_chrono.shape[-1]
-    assert n <= LANES, f"flat parameter vector too wide for lanes: {n}"
+    if n > LANES:
+        raise ValueError(
+            f"--lbfgs_dir_backend pallas supports flat parameter vectors up "
+            f"to {LANES} entries (one VMEM lane row); this problem has {n} "
+            f"(e.g. latent_dim>=4 at poly_order 3). Use the default "
+            f"--lbfgs_dir_backend xla, which is measured performance-neutral "
+            f"(RESULTS.md 'Negative result')."
+        )
     return _make_two_loop(interpret)(g, s_chrono, y_chrono, rho_chrono,
                                      jnp.asarray(gamma, jnp.float32))
 

@@ -143,6 +143,9 @@ def sweep_sindy_lbfgs(
         return res.Xi, res.mask
 
     if subsample_idx is not None:
+        if n_mesh_devices and n_mesh_devices > 1:
+            print("sweep: external subsample_idx path is vmap-only; "
+                  f"ignoring --mesh_devices {n_mesh_devices} (optax backend)")
         Xi, mask = jax.jit(jax.vmap(run_one))(jnp.asarray(seeds),
                                               jnp.asarray(subsample_idx))
     else:

@@ -59,8 +59,13 @@ def save_train_state(path: str, state: Any, history=()) -> None:
     where the worker dies at ~3-4 min, this matters more than it did for the
     reference). `state` is any pytree (bundle/batch_stats/opt_state/...)."""
     flat, _ = _flatten(state)
-    for k in (history[0].keys() if history else ()):
-        flat[_HIST + k] = np.asarray([h[k] for h in history], np.float64)
+    # Union of keys across entries: a metric that first appears after epoch 0
+    # (e.g. val metrics logged only at log_interval) must not KeyError the
+    # save; absent epochs round-trip as NaN.
+    hist_keys = sorted({k for h in history for k in h})
+    for k in hist_keys:
+        flat[_HIST + k] = np.asarray(
+            [h.get(k, float("nan")) for h in history], np.float64)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **flat)
 

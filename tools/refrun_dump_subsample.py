@@ -65,8 +65,14 @@ config = _Obj()
 """
 
 # Runs inside /tmp/refrun. Imports consume no RNG; the patch only
-# materializes the iterator the sampler would produce anyway.
+# materializes the iterator the sampler would produce anyway. The recorded
+# permutation must come from the L-BFGS train loader, not just whichever
+# shuffled loader iterates first (a joint LaLiGAN stage would construct an
+# earlier shuffled loader): when SODT_EXPECT_LEN is set, only a sampler over
+# a dataset of exactly that length is saved, and the run fails loudly if
+# none matched.
 RUNNER = """\
+import atexit
 import os, sys
 import numpy as np
 import torch
@@ -74,15 +80,25 @@ from torch.utils.data.sampler import RandomSampler
 
 _orig_iter = RandomSampler.__iter__
 _state = {"saved": False}
+_expect = int(os.environ.get("SODT_EXPECT_LEN", "0"))
 
 def _recording_iter(self):
     idxs = list(_orig_iter(self))
-    if not _state["saved"]:  # first shuffled loader = the train loader
+    if not _state["saved"] and (not _expect or len(idxs) == _expect):
         np.save(os.environ["SODT_PERM_OUT"], np.asarray(idxs, np.int64))
         _state["saved"] = True
     return iter(idxs)
 
 RandomSampler.__iter__ = _recording_iter
+
+def _check_saved():
+    if _expect and not _state["saved"]:
+        sys.stderr.write(
+            "SODT runner: no RandomSampler of length %d was iterated; "
+            "the expected train loader never ran\\n" % _expect)
+        os._exit(3)
+
+atexit.register(_check_saved)
 
 import runpy
 entry = os.environ.get("SODT_ENTRY", "main.py")
@@ -130,11 +146,15 @@ def phase_setup(task: str, noise: float):
 
 
 def phase_run(config: str, run_name: str, n_seeds: int, timeout_s: float,
-              entry: str = "main.py"):
+              entry: str = "main.py", expect_len: int = 0):
     """entry: the reference script to run. main_wsindy.py draws its
     subsample with plain np.random (main_wsindy.py:36-38) — derivable
     without instrumentation, so no perm file is produced there; progress is
-    tracked by the reference's own eval npz instead."""
+    tracked by the reference's own eval npz instead.
+
+    expect_len: when > 0, the recorder saves only a RandomSampler over a
+    dataset of exactly this length (the train set), so a config that builds
+    another shuffled DataLoader first cannot silently record the wrong one."""
     os.makedirs(os.path.join(REFRUN, "perms", run_name), exist_ok=True)
     for seed in range(n_seeds):
         perm_out = os.path.join(REFRUN, "perms", run_name, f"seed{seed}.npy")
@@ -143,7 +163,8 @@ def phase_run(config: str, run_name: str, n_seeds: int, timeout_s: float,
         if os.path.exists(done_marker):
             continue
         env = dict(os.environ, SODT_PERM_OUT=perm_out,
-                   SODT_ENTRY=entry, WANDB_MODE="disabled")
+                   SODT_ENTRY=entry, WANDB_MODE="disabled",
+                   SODT_EXPECT_LEN=str(expect_len if entry == "main.py" else 0))
         # drop the axon pin so the subprocess doesn't touch the TPU tunnel
         env.pop("PALLAS_AXON_POOL_IPS", None)
         r = subprocess.run(
@@ -223,8 +244,17 @@ def main():
     if args.phase in ("setup", "all"):
         phase_setup(args.task, args.noise)
     if args.phase in ("run", "all"):
+        import numpy as np
+
+        expect_len = 0
+        cache = os.path.join(
+            REPO, "data",
+            f"{args.task}-train-noise{int(100 * args.noise):02d}-gp-x.npy")
+        if os.path.exists(cache):
+            x = np.load(cache, mmap_mode="r")
+            expect_len = int(x.shape[0] * x.shape[1])
         phase_run(args.config, args.run_name, args.seeds, args.timeout,
-                  entry=args.entry)
+                  entry=args.entry, expect_len=expect_len)
     if args.phase in ("collect", "all"):
         import numpy as np
 
