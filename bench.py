@@ -23,10 +23,25 @@ Two legs, proving speed AND the paper's core claim:
      the symmetry-informed flagship. Reference notebook numbers
      (BASELINE.md): joint success 50/50, coefficient RMSE 0.0143 +- 0.0066.
 
+  3. LV noise99 EquivSINDy-r (run_configs/lv/noise99_eq_isymreg.cfg +
+     --symmpen_pallas --ae_dtype f32, the recommended flagship configuration,
+     RESULTS.md round-2/3 headline) — the full symmetry-regularized sweep
+     whose 4.6-min clean-tunnel wall clock was previously self-reported only.
+     Runs as a CLI subprocess (host-stepped epochs dodge the 3-4-min tunnel
+     watchdog): always attempts the FULL 50-seed protocol first (wall clock
+     is epoch-bound, not lane-bound — a 10-seed run costs nearly the same,
+     measured 592 s at 10 seeds on a congested tunnel vs 276-306 s at 50 on
+     a clean one), falling back to an honestly-annotated 10-seed leg
+     (`symreg_seeds` field) only if the 50-seed run times out or fails.
+     Wall clock includes backend init + compiles — same accounting as the
+     RESULTS.md 4.6/5.1-min reference runs.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import glob
 import json
+import shutil
 import subprocess
 import sys
 import time
@@ -146,6 +161,53 @@ def main():
     res_lv, wall_lv = timed(run_lv)
     res_g, wall_g = timed(run_growth)
 
+    # ---- 3. LV noise99 EquivSINDy-r flagship (driver-witnessed) ----
+    # Full 50-seed protocol first; reduced 10-seed leg (annotated) only as
+    # a fallback. Subprocess = fresh backend client; the parent is idle
+    # while it runs, so there's no dispatch contention.
+    def run_symreg(n_seeds, timeout_s):
+        out_dir = "eval_results/bench-symreg"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        cmd = [sys.executable, "-m", "symmetry_ode_discovery_tpu.cli.main",
+               "--seed", "0", "--n_seeds", str(n_seeds),
+               "--config", "lv/noise99_eq_isymreg.cfg",
+               "--symmpen_pallas", "--ae_dtype", "f32",
+               "--save_dir", "bench-symreg", "--overwrite_eval"]
+        t0 = time.time()
+        r = subprocess.run(cmd, timeout=timeout_s, capture_output=True)
+        wall = time.time() - t0
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"symreg leg failed: {r.stderr.decode(errors='replace')[-400:]}")
+        files = sorted(glob.glob(f"{out_dir}/seed*.npz"))
+        if len(files) != n_seeds:
+            raise RuntimeError(f"symreg leg wrote {len(files)}/{n_seeds} npzs")
+        cf = np.stack([np.load(f)["correct_form"] for f in files])
+        mse = np.stack([np.load(f)["mse"] for f in files])
+        joint = np.all(cf > 0, axis=1)
+        rmse = float(np.mean(np.sqrt(mse[joint]))) if joint.any() else float("nan")
+        return {"symreg_wall_s": round(wall, 1),
+                "symreg_seeds": n_seeds,
+                "symreg_joint_success": int(joint.sum()),
+                "symreg_eq0_success": int((cf[:, 0] > 0).sum()),
+                "symreg_rmse": round(rmse, 4),
+                "symreg_full_protocol": n_seeds == 50,
+                "symreg_wall_includes_compile": True,
+                # RESULTS.md round-3 clean-tunnel reference points
+                "symreg_self_reported_ref": {"joint": 23, "eq0": 45,
+                                             "wall_s_range": [276, 306]}}
+
+    symreg = {}
+    try:
+        try:
+            symreg = run_symreg(50, timeout_s=900.0)
+        except (RuntimeError, subprocess.TimeoutExpired) as e:
+            print(f"bench: 50-seed symreg leg failed ({e}); "
+                  "falling back to 10 seeds", file=sys.stderr)
+            symreg = run_symreg(10, timeout_s=700.0)
+    except Exception as e:  # flagship leg must never kill the bench line
+        symreg = {"symreg_error": f"{type(e).__name__}: {str(e)[:300]}"}
+
     def stats(res):
         joint = float(np.mean(np.all(res.correct_form > 0, axis=1)))
         ok = np.all(res.correct_form > 0, axis=1)
@@ -177,6 +239,7 @@ def main():
         "growth_esindy_joint_success": joint_g,
         "growth_esindy_rmse": round(rmse_g, 4),
         "growth_esindy_ref": {"joint_success": 1.0, "rmse": 0.0143},
+        **symreg,
         "device": str(jax.devices()[0]),
     }))
 

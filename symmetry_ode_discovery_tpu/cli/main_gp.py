@@ -211,7 +211,9 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
                                          verbose=args.get("print_eq", False),
                                          mesh=mesh, eval_dtype=eval_dtype,
                                          eval_backend=eval_backend,
-                                         grad_backend=grad_backend)
+                                         grad_backend=grad_backend,
+                                         select=args.get("gp_select",
+                                                         "penalized"))
             return per_seed, "equations_seed{}.txt"
 
         # One retry per chunk: the axon tunnel occasionally restarts the TPU

@@ -317,6 +317,7 @@ def gp_sweep_plain(
     eval_dtype=None,
     eval_backend: str = "xla",
     grad_backend: str = "xla",
+    select: str = "penalized",
 ):
     """Per-dimension independent GP for S seeds: units are (seed, dim).
 
@@ -328,6 +329,8 @@ def gp_sweep_plain(
     grad_backend: 'xla' (autodiff through the scan interpreter) or 'pallas'
     (zero-residual fused VJP kernel) for the const-opt gradient loss —
     always f32 either way.
+    select: 'penalized' (PySR 'best', the reference's plain-mode selection)
+    or 'raw' (PySR 'accuracy') — see _run_sweep. Breeding is unaffected.
 
     Returns a list (per seed) of per-dim best tapes
     [[(ops,args,consts) for dim in d] for seed in S].
@@ -362,7 +365,7 @@ def gp_sweep_plain(
                      rngs, group=1,
                      topk=topk, verbose=verbose,
                      data_small=(X_u[:, :k], y_u[:, :k]), mesh=mesh,
-                     fit_loss=fit_loss)
+                     fit_loss=fit_loss, select=select)
     # each res.best[u] is (ops (1,L), args, consts) — squeeze the group axis
     per_seed = [[tuple(arr[0] for arr in res.best[s * d + dim])
                  for dim in range(d)] for s in range(S)]

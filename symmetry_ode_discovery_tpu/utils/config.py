@@ -128,6 +128,15 @@ def build_parser() -> argparse.ArgumentParser:
     # + reverse sweep in VMEM, pallas_eval.py make_diff_eval_pallas).
     parser.add_argument("--gp_grad_backend", type=str, default="xla",
                         choices=["xla", "pallas"])
+    # Which score picks the REPORTED equation in plain GP sweep mode:
+    # 'penalized' = loss + parsimony*length (PySR model_selection='best'
+    # elbow behavior, the reference's plain-mode setting, main_pysr.py:137)
+    # or 'raw' = pure loss (PySR 'accuracy'). Breeding always uses the
+    # penalized fitness. Used by the selection-rule sensitivity study
+    # (RESULTS.md): the dosc/growth small-damping terms die at the Pareto
+    # elbow, not in the search.
+    parser.add_argument("--gp_select", type=str, default="penalized",
+                        choices=["penalized", "raw"])
     # Redo seeds that already have eval npz files (GP sweep resume skips
     # them by default so crashed sweeps restart where they left off).
     parser.add_argument("--overwrite_eval", action="store_true")
