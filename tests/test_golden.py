@@ -87,3 +87,108 @@ def test_golden_growth_esindy_full_50seed():
                             seeds=np.arange(50), lbfgs_subsample=0.5)
     joint = np.all(res.correct_form > 0, axis=1)
     assert joint.sum() == 50, joint
+
+
+# ---------------------------------------------------------------------------
+# Golden GP tier (VERDICT r3 item 6): seed-pinned reduced GP sweeps with
+# success-rate floors. The full-protocol numbers these guard (RESULTS.md,
+# tracked eval_results npzs): plain LV noise99 25/100 joint; EquivGP-r
+# 38/100. At CPU-test budgets (pop ~200, 12-18 generations vs the
+# protocol's pop 1024 x 40) the symmetry term's ADVANTAGE does not
+# materialize — it emerges at full budget and high noise — so each path
+# guards its own calibrated band rather than symm >= plain; the symm >= plain
+# ordering itself is evidenced by the tracked 100-seed sweeps. Both legs are
+# deterministic on CPU (seeded C++ breeding core), so the floors only move
+# if numerics change — exactly what they're meant to catch.
+# ---------------------------------------------------------------------------
+
+_REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.fixture(scope="module")
+def lv_noise04_flat():
+    """Shared reduced LV dataset for both GP legs: 6 ICs at noise 0.4."""
+    return _noisy_flat("lv", n_ics=6, noise=0.4)
+
+
+def _gp_eval_counts(per_seed, task="lv"):
+    from symmetry_ode_discovery_tpu.symgp.eval_gp import eval_gp_equations
+    from symmetry_ode_discovery_tpu.symgp.tape import tape_to_string
+
+    cf = []
+    for best in per_seed:
+        eqs = [tape_to_string(*b) for b in best]
+        cf.append(eval_gp_equations(eqs, task, threshold=0.05)["correct_form"])
+    cf = np.stack(cf)
+    return (int(np.all(cf > 0, axis=1).sum()),
+            int((cf[:, 0] > 0).sum()), int((cf[:, 1] > 0).sum()))
+
+
+def _subsample_per_seed(x, dx, seeds, rows):
+    xs, dxs = [], []
+    for s in seeds:
+        idx = np.random.default_rng(s).choice(len(x), rows, replace=False)
+        xs.append(x[idx]); dxs.append(dx[idx])
+    return np.stack(xs), np.stack(dxs)
+
+
+def test_golden_gp_plain_lv_6seed(lv_noise04_flat):
+    """Reduced plain-GP LV sweep (pop 192, 12 gens, 384 rows): calibrated
+    joint 2/6, eq0 3, eq1 2 — floors one success below."""
+    from symmetry_ode_discovery_tpu.cli.main_gp import _task_spec
+    from symmetry_ode_discovery_tpu.symgp.evolve import GPConfig
+    from symmetry_ode_discovery_tpu.symgp.sweep import gp_sweep_plain
+
+    x, dx = lv_noise04_flat
+    seeds = list(range(6))
+    X, dX = _subsample_per_seed(np.asarray(x), np.asarray(dx), seeds, 384)
+    cfg = GPConfig(pop_size=192, n_generations=12, seed=0)
+    per_seed, _ = gp_sweep_plain(X, dX, _task_spec("lv", 2), cfg, seeds)
+    joint, eq0, eq1 = _gp_eval_counts(per_seed)
+    assert joint >= 1 and eq0 >= 2 and eq1 >= 1, (joint, eq0, eq1)
+
+
+def test_golden_gp_symm_lv_6seed(lv_noise04_flat):
+    """Reduced EquivGP-r LV sweep (pop 256, 18 gens) through the tracked
+    laligan-noise99-lv checkpoint: calibrated joint 1/6, eq0 2, eq1 1 —
+    floor is >= 2 correct equations in total, >= 1 on eq0."""
+    import jax.numpy as jnp
+
+    from symmetry_ode_discovery_tpu.cli.main import build_models
+    from symmetry_ode_discovery_tpu.cli.main_gp import _task_spec
+    from symmetry_ode_discovery_tpu.models import lie_generator as lg
+    from symmetry_ode_discovery_tpu.symgp.evolve import GPConfig
+    from symmetry_ode_discovery_tpu.symgp.sweep import gp_sweep_system
+    from symmetry_ode_discovery_tpu.training.symmreg import (
+        make_precompute_symmreg_r)
+    from symmetry_ode_discovery_tpu.utils import checkpoint as ckpt
+    from symmetry_ode_discovery_tpu.utils.config import get_args
+
+    args = vars(get_args(
+        ["--config", os.path.join(_REPO, "run_configs/lv/noise99_eq_gp_symm.cfg")]))
+    args["input_dim"] = 2  # raw LV states (main_gp uses no mt windowing)
+    ae_def, gspec, _ = build_models(args)
+    k = jax.random.PRNGKey(0)
+    ae_params, ae_bstats = ae_def.init(k)
+    g_state = lg.init_generator(k, gspec)
+    bundle = {"ae": ae_params, "d": {}, "g": g_state}
+    bundle, ae_bstats = ckpt.load_laligan(
+        args["load_laligan"], bundle, ae_bstats,
+        root=os.path.join(_REPO, "saved_models"))
+    pre = make_precompute_symmreg_r(ae_def, bundle["ae"], ae_bstats, gspec,
+                                    bundle["g"])
+
+    x, dx = lv_noise04_flat
+    seeds = list(range(6))
+    X, dX = _subsample_per_seed(np.asarray(x), np.asarray(dx), seeds, 384)
+    gxs, Jgs = [], []
+    for s in range(len(seeds)):
+        gx_list, Jgx_list = pre(jnp.asarray(X[s]))
+        gxs.append(np.stack([np.asarray(g) for g in gx_list]))
+        Jgs.append(np.stack([np.asarray(J) for J in Jgx_list]))
+    cfg = GPConfig(pop_size=256, n_generations=18, seed=0)
+    per_seed, _ = gp_sweep_system(X, dX, _task_spec("lv", 2), cfg, seeds,
+                                  gx_all=np.stack(gxs), Jgx_all=np.stack(Jgs),
+                                  w_sym_reg=args["w_sym_reg"])
+    joint, eq0, eq1 = _gp_eval_counts(per_seed)
+    assert eq0 + eq1 >= 2 and eq0 >= 1, (joint, eq0, eq1)
