@@ -116,13 +116,36 @@ def main():
     t_eval = time.perf_counter() - t0
     t0 = time.perf_counter()
     _ = [np.asarray(L) for L in lg.getLi(trainer.spec, bundle["g"])]
+    t_li_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = [np.asarray(L) for L in lg.getLi(trainer.spec, bundle["g"])]
     t_li = time.perf_counter() - t0
     print(f"eval_metrics (full val): compile {t_eval_c:.1f}s, warm "
-          f"{t_eval:.2f}s; print_li fetch {t_li * 1e3:.1f} ms")
-    est = t_warm + t_eval
-    print(f"=> steady-state per epoch ~{est:.2f}s; x{hp.num_epochs} epochs "
-          f"~{est * hp.num_epochs / 60:.1f} min + compile {t_compile:.0f}s "
-          f"+ materialize {t_mat:.0f}s")
+          f"{t_eval:.2f}s; print_li fetch cold {t_li_cold:.1f}s / "
+          f"warm {t_li * 1e3:.1f} ms")
+
+    # the train loop's other per-epoch side costs (training/lassi.py):
+    # per-metric float() fetches and the save_interval checkpoint dump
+    out2 = one_epoch(jax.random.split(key)[1])
+    jax.block_until_ready(out2)  # isolate the fetch cost from the epoch cost
+    t0 = time.perf_counter()
+    _ = {k: float(v) for k, v in out2[4].items()}
+    t_metrics = time.perf_counter() - t0
+    from symmetry_ode_discovery_tpu.utils import checkpoint as ckpt
+    t0 = time.perf_counter()
+    ckpt.save_train_state("/tmp/sodt-prof-ckpt.npz",
+                          {"bundle": bundle, "batch_stats": bstats,
+                           "opt_state": opt_state,
+                           "sindy_carry": sindy_carry, "key": key},
+                          [{"loss": 0.0}])
+    t_save = time.perf_counter() - t0
+    print(f"metrics float() fetch {t_metrics * 1e3:.1f} ms/epoch; "
+          f"save_train_state {t_save:.2f}s per save_interval")
+    est = t_warm + t_eval + t_li + t_metrics
+    print(f"=> steady-state per epoch ~{est:.2f}s (epoch {t_warm:.2f} + "
+          f"eval {t_eval:.2f} + print_li {t_li:.2f} + metrics {t_metrics:.2f});"
+          f" x{hp.num_epochs} epochs ~{est * hp.num_epochs / 60:.1f} min"
+          f" + compile {t_compile:.0f}s + materialize {t_mat:.0f}s")
 
     log_dir = "/tmp/sodt-lassi-trace"
     key, k5 = jax.random.split(key)
