@@ -356,3 +356,48 @@ def test_pallas_grad_padded_rows_no_nan_poisoning():
                                             op_table=tbl, interpret=True))
     assert np.isfinite(g_k).all(), g_k
     np.testing.assert_allclose(g_k, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_gp_select_raw_vs_penalized():
+    """--gp_select semantics (the Pareto-elbow study's lever): on a target
+    with a small high-order term (dx0 = x0 + 0.05*x0^2) and a stiff
+    parsimony, 'penalized' reports the short elbow tape while 'raw' reports
+    the lower-loss (longer) tape. Breeding is identical (same seed), only
+    the reported best differs."""
+    import jax.numpy as jnp
+
+    from symmetry_ode_discovery_tpu.symgp.tape import (eval_tapes,
+                                                       spec_op_table,
+                                                       tape_length)
+
+    rng = np.random.default_rng(1)
+    S, N = 2, 256
+    X = rng.standard_normal((S, N, 1)).astype(np.float32)
+    # the dosc regime in miniature: a small real second-order term whose mse
+    # gain (~0.05) is comparable to its parsimony cost, so both forms coexist
+    # on the front and only the REPORTED pick differs between the rules
+    dX = (2.0 * X[..., :1] + 0.15 * X[..., :1] ** 2).astype(np.float32)
+    spec = TapeSpec(n_vars=1, max_len=16, binary_ops=(ADD, SUB, MUL))
+    cfg = GPConfig(pop_size=256, n_generations=12, const_opt_steps=8,
+                   parsimony=0.02, seed=0)
+
+    def mse_of(best):
+        ops, args, consts = best
+        y = eval_tapes(jnp.asarray(ops)[None], jnp.asarray(args)[None],
+                       jnp.asarray(consts)[None], jnp.asarray(X[0]),
+                       op_table=spec_op_table(spec))
+        return float(np.mean((np.asarray(y)[0] - dX[0, :, 0]) ** 2))
+
+    got = {}
+    for sel in ("penalized", "raw"):
+        per_seed, _ = gp_sweep_plain(X, dX, spec, cfg, seeds=[0, 1],
+                                     select=sel)
+        best = per_seed[0][0]
+        got[sel] = (mse_of(best), int(tape_length(best[0][None])[0]))
+
+    # raw picks pure train loss: never worse mse, strictly lower here (it
+    # keeps the noise-fitting terms the elbow trades away), and the
+    # penalized pick is the shorter tape
+    assert got["raw"][0] <= got["penalized"][0] + 1e-9, got
+    assert got["penalized"][1] < got["raw"][1], got
+    assert got["raw"][0] < got["penalized"][0] - 1e-6, got
