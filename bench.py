@@ -165,14 +165,19 @@ def main():
     # Full 50-seed protocol first; reduced 10-seed leg (annotated) only as
     # a fallback. Subprocess = fresh backend client; the parent is idle
     # while it runs, so there's no dispatch contention.
-    def run_symreg(n_seeds, timeout_s):
+    def run_symreg(n_seeds, timeout_s, fresh=True):
         out_dir = "eval_results/bench-symreg"
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if fresh:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        # no --overwrite_eval: with a clean dir the semantics are identical,
+        # and a retry after a timeout/worker-restart resumes from the seed
+        # npzs the killed attempt already persisted (cli/main.py chunk
+        # resume) instead of restarting the whole protocol.
         cmd = [sys.executable, "-m", "symmetry_ode_discovery_tpu.cli.main",
                "--seed", "0", "--n_seeds", str(n_seeds),
                "--config", "lv/noise99_eq_isymreg.cfg",
                "--symmpen_pallas", "--ae_dtype", "f32",
-               "--save_dir", "bench-symreg", "--overwrite_eval"]
+               "--save_dir", "bench-symreg"]
         t0 = time.time()
         r = subprocess.run(cmd, timeout=timeout_s, capture_output=True)
         wall = time.time() - t0
@@ -199,12 +204,27 @@ def main():
 
     symreg = {}
     try:
-        try:
-            symreg = run_symreg(50, timeout_s=900.0)
-        except (RuntimeError, subprocess.TimeoutExpired) as e:
-            print(f"bench: 50-seed symreg leg failed ({e}); "
-                  "falling back to 10 seeds", file=sys.stderr)
-            symreg = run_symreg(10, timeout_s=700.0)
+        # 50-seed protocol, then a RESUMING 50-seed retry (tunnel stalls /
+        # worker restarts leave finished chunks on disk), then the reduced
+        # annotated leg as the last resort.
+        attempts = [(50, 900.0, True), (50, 700.0, False), (10, 600.0, True)]
+        last_err = None
+        leg_t0 = time.time()
+        for n_seeds, t, fresh in attempts:
+            try:
+                symreg = run_symreg(n_seeds, timeout_s=t, fresh=fresh)
+                if not fresh:
+                    # honest wall: include the timed-out first attempt, not
+                    # just the resuming leg
+                    symreg["symreg_resumed"] = True
+                    symreg["symreg_wall_s"] = round(time.time() - leg_t0, 1)
+                break
+            except (RuntimeError, subprocess.TimeoutExpired) as e:
+                print(f"bench: symreg leg ({n_seeds} seeds, fresh={fresh}) "
+                      f"failed ({e}); continuing", file=sys.stderr)
+                last_err = e
+        else:
+            raise last_err
     except Exception as e:  # flagship leg must never kill the bench line
         symreg = {"symreg_error": f"{type(e).__name__}: {str(e)[:300]}"}
 

@@ -30,11 +30,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CKPTS = {
-    "s43": ("laligan-noise99-lv", ["symreg2-noise99-lv", "bench-symreg"]),
-    "s44": ("laligan-noise99-lv-s44", ["symreg2-noise99-lv-s44"]),
-    "s45": ("laligan-noise99-lv-s45", ["symreg2-noise99-lv-s45"]),
-}
+def discover_ckpts():
+    """All tracked LV noise99 LaLiGAN equilibria: the reference-seed dir
+    (laligan-noise99-lv == s43) plus any laligan-noise99-lv-sNN retrain."""
+    ckpts = {"s43": ("laligan-noise99-lv",
+                     ["symreg2-noise99-lv", "bench-symreg"])}
+    for d in sorted(glob.glob("saved_models/laligan-noise99-lv-s*")):
+        tag = os.path.basename(d).rsplit("-", 1)[-1]
+        ckpts[tag] = (os.path.basename(d), [f"symreg2-noise99-lv-{tag}"])
+    return ckpts
+
+
+CKPTS = discover_ckpts()
 
 
 def truth_h(x):
