@@ -238,7 +238,10 @@ def _pallas_kernel_launch(pcfg, Mmap, interpret, mesh=None):
                                   interpret=interpret)
 
     if mesh is None:
-        return launch
+        # jit the whole launch: eager execution dispatches every padding /
+        # block-diagonal expansion op in pallas_lbfgs_sweep separately —
+        # ~2.5 s/launch of tunnel round-trips vs ~70 ms fused (round 5)
+        return jax.jit(launch)
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
@@ -294,18 +297,54 @@ def sweep_sindy_lbfgs_stacked(
     n_seeds = len(seeds)
     launch = _pallas_kernel_launch(pcfg, Mmap, interpret, mesh)
 
+    # The per-seed subsample draw depends only on (seed, N): when every
+    # dataset has the same N (the bench's 11 noise levels do), the 2M-row
+    # permutation sort — the most expensive prep op at ~0.5 s/level — is
+    # computed ONCE and shared, with per-seed results identical to the
+    # per-level recompute (same kperm fold-in; verified by test_sweep).
+    ns = {int(x.shape[0]) for x in xs}
+    shared_idx = None
+    if len(ns) == 1:
+        n = ns.pop()
+        k = int(n * lbfgs_subsample)
+
+        @functools.partial(jax.jit, static_argnums=(1, 2))
+        def _idx_rows(seeds, n, k):
+            def one(seed):
+                key = jax.random.fold_in(jax.random.PRNGKey(0), seed)
+                kperm, _ = jax.random.split(key)
+                return jax.random.permutation(kperm, n)[:k]
+            return jax.vmap(one)(seeds)
+
+        shared_idx = _idx_rows(seeds_j, n, k)
+
     # Per-dataset prep + launch, all async: one jitted prep program and one
     # compiled kernel, each dispatched L times with no host round-trips.
-    outs = []
+    ths, masks = [], []
     for x, dx in zip(xs, dxs):
         S, B, q, ne, th0 = _prep_normal_eq(
             cfg, int(x.shape[0] * lbfgs_subsample), n_params,
-            jnp.asarray(x), jnp.asarray(dx), seeds_j)
+            jnp.asarray(x), jnp.asarray(dx), seeds_j, shared_idx)
         th, mask, _ = launch(S, B, q, ne, th0)
-        Xi = (th @ jnp.asarray(Mmap).T if Mmap is not None else th
-              ).reshape(n_seeds, d, p)
-        outs.append((Xi, mask))
-    return [_finalize(Xi, mask, truth) for Xi, mask in outs]
+        ths.append(th)
+        masks.append(mask)
+
+    # Fused finalize: one jitted program over the stacked (L, seeds) results
+    # and ONE device->host fetch, instead of 4 small fetches per level (each
+    # a tunnel round-trip; dominated the wall clock under congestion).
+    @jax.jit
+    def _finalize_all(ths, masks):
+        TH = jnp.stack(ths)            # (L, seeds, n_params)
+        MKr = jnp.stack(masks)         # (L, seeds, d, p) — kernel pre-trims
+        Xi = (TH @ jnp.asarray(Mmap).T if Mmap is not None else TH
+              ).reshape(len(ths), n_seeds, d, p)
+        cf, mse = jax.vmap(jax.vmap(
+            lambda c, m: eval_coefficients_jnp(c, m, jnp.asarray(truth))))(Xi, MKr)
+        return Xi, MKr, cf, mse
+
+    Xi, MKr, cf, mse = jax.device_get(_finalize_all(ths, masks))
+    return [SweepResult(Xi=Xi[i], mask=MKr[i], correct_form=cf[i], mse=mse[i])
+            for i in range(len(ths))]
 
 
 def sweep_sindy_stlsq(
