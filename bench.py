@@ -36,8 +36,6 @@ Three legs, proving speed AND the paper's core claim:
      Wall clock includes backend init + compiles — same accounting as the
      RESULTS.md 4.6/5.1-min reference runs.
 
-Three legs, proving speed AND the paper's core claim (the list above).
-
 Leg-1 accounting (round 5): the 11 level datasets are `jax.device_put` ONCE
 before the warmup, so the timed pass measures the sweep — not the tunnel.
 Rounds 2-4 re-transferred 352 MB of host numpy (11 levels x 32 MB) inside

@@ -491,8 +491,13 @@ def run(args: dict) -> dict:
 
 def main(argv=None):
     from ..utils.config import get_args
+    from ..utils.watchdog import probe_first_dispatch
 
     args = vars(get_args(argv))
+    # codified CLAUDE.md stall procedure: force the first device dispatch
+    # under a watchdog; on a pre-dispatch tunnel stall, self-relaunch once
+    # (sweeps resume from persisted per-seed npzs), then exit 42
+    probe_first_dispatch()
     return run(args)
 
 

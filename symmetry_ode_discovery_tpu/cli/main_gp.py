@@ -52,6 +52,11 @@ def run(args: dict) -> dict:
 
     gx_fn = None
     if args["pysr_symmreg"]:
+        if args.get("gp_select", "penalized") != "penalized":
+            # The symmreg path reports the raw-loss winner unconditionally
+            # (reference sets model_selection='accuracy', main_pysr.py:137,151)
+            print("note: --gp_select is ignored with --pysr_symmreg "
+                  "(symm mode always selects by raw loss, PySR 'accuracy')")
         if not args.get("load_laligan"):
             raise ValueError(
                 "--pysr_symmreg needs a trained LaLiGAN checkpoint: pass "
@@ -249,8 +254,12 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
 
 def main(argv=None):
     from ..utils.config import get_args
+    from ..utils.watchdog import probe_first_dispatch
 
     args = vars(get_args(argv))
+    # codified CLAUDE.md stall procedure (see cli/main.py): one watched
+    # probe dispatch, self-relaunch once on stall, distinct exit code after
+    probe_first_dispatch()
     return run(args)
 
 

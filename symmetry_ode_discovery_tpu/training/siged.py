@@ -517,8 +517,12 @@ def make_lbfgs_stepper(cfg: SINDyConfig, Q, hp: LBFGSHParams,
 
         return loss_fn
 
-    def init(x, dx, key):
-        params0 = init_params(key)
+    def init(x, dx, key, params0=None):
+        # params0 override: cross-framework replay mode feeds the torch
+        # reference's recorded Xi init (tools/ref_isymreg_outcome.py) so the
+        # optimizer state is initialized on the identical starting point
+        if params0 is None:
+            params0 = init_params(key)
         mask0 = jnp.ones((cfg.latent_dim, cfg.n_terms))
         carry = dict(x=x, dx=dx, **_init_loop_state(params0, opt, mask0, hp))
         if sym_reg_prep is not None:

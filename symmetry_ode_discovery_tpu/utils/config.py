@@ -129,8 +129,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--gp_grad_backend", type=str, default="xla",
                         choices=["xla", "pallas"])
     # Which score picks the REPORTED equation in plain GP sweep mode:
-    # 'penalized' = loss + parsimony*length (PySR model_selection='best'
-    # elbow behavior, the reference's plain-mode setting, main_pysr.py:137)
+    # 'penalized' = loss + parsimony*length (PySR's default
+    # model_selection='best' elbow behavior — the reference's plain-mode
+    # config omits the key so PySR's default applies; the symm configs set
+    # 'accuracy' explicitly at main_pysr.py:137,151)
     # or 'raw' = pure loss (PySR 'accuracy'). Breeding always uses the
     # penalized fitness. Used by the selection-rule sensitivity study
     # (RESULTS.md): the dosc/growth small-damping terms die at the Pareto

@@ -1,0 +1,77 @@
+"""First-dispatch stall watchdog (utils/watchdog.py): timing mechanics,
+CPU no-op, and the real relaunch-once / exit-42 process behavior."""
+
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+from symmetry_ode_discovery_tpu.utils.watchdog import (
+    STALL_EXIT_CODE, probe_first_dispatch, run_with_watchdog)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_fast_fn_does_not_fire():
+    fired = []
+    out = run_with_watchdog(lambda: 7, timeout_s=5.0, fire=fired.append)
+    assert out == 7
+    time.sleep(0.05)
+    assert not fired
+
+
+def test_slow_fn_fires():
+    fired = []
+    out = run_with_watchdog(lambda: time.sleep(0.5) or "done",
+                            timeout_s=0.1, fire=lambda: fired.append(1))
+    # injected fire doesn't kill the process, so fn still returns
+    assert out == "done"
+    assert fired == [1]
+
+
+def test_probe_is_noop_on_cpu():
+    # conftest forces the cpu platform; the probe must return immediately
+    t0 = time.time()
+    assert probe_first_dispatch(timeout_s=5.0) == 0.0
+    assert time.time() - t0 < 2.0
+
+
+def test_relaunch_once_then_succeed(tmp_path):
+    """A process that stalls on first launch is re-exec'd by the watchdog
+    and completes on the relaunch (the CLAUDE.md manual procedure, as code).
+    Must be a real script file: os.execv re-runs sys.argv, which a `-c`
+    invocation cannot carry."""
+    script = tmp_path / "stall_once.py"
+    script.write_text(textwrap.dedent("""\
+        import os, sys, time
+        sys.path.insert(0, %r)
+        from symmetry_ode_discovery_tpu.utils.watchdog import run_with_watchdog
+
+        def work():
+            if not os.environ.get("SODT_WATCHDOG_RETRIED"):
+                time.sleep(60)  # simulated pre-dispatch stall, first launch
+            return "RECOVERED"
+
+        print(run_with_watchdog(work, timeout_s=0.5))
+    """ % REPO))
+    env = {k: v for k, v in os.environ.items() if k != "SODT_WATCHDOG_RETRIED"}
+    r = subprocess.run([sys.executable, str(script)], env=env,
+                       capture_output=True, text=True, timeout=30)
+    assert r.returncode == 0, r.stderr
+    assert "RECOVERED" in r.stdout
+    assert "relaunching self once" in r.stderr
+
+
+def test_second_stall_exits_42():
+    script = textwrap.dedent("""\
+        import sys, time
+        sys.path.insert(0, %r)
+        from symmetry_ode_discovery_tpu.utils.watchdog import run_with_watchdog
+        run_with_watchdog(lambda: time.sleep(60), timeout_s=0.3)
+    """ % REPO)
+    env = dict(os.environ, SODT_WATCHDOG_RETRIED="1")
+    r = subprocess.run([sys.executable, "-c", script], env=env,
+                       capture_output=True, text=True, timeout=30)
+    assert r.returncode == STALL_EXIT_CODE
+    assert "tunnel wedged" in r.stderr
