@@ -97,7 +97,7 @@ def run(args: dict) -> dict:
             w_recon=args["w_recon"], w_gan=args["w_gan"],
             w_reg_norm=args["w_reg_norm"], w_reg_sim=args["w_reg_sim"],
             w_reg_ortho=args["w_reg_ortho"], w_reg_closure=args["w_reg_closure"],
-            use_original_x=args["use_original_x"],
+            use_original_x=args["use_original_x"], ae_ema=args.get("ae_ema", 0.0),
             gan_st_freq=args["gan_st_freq"], gan_st_thres=args["gan_st_thres"],
             include_sindy=args["include_sindy"], eq_constraint=args["eq_constraint"],
             poly_order=args["poly_order"], w_sindy_z=args["w_sindy_z"],

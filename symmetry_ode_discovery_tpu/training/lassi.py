@@ -73,6 +73,15 @@ class LassiHParams:
     # vs 15 clean f32 epochs) — float32 stays the default; flip per-run if
     # your configuration tolerates it.
     matmul_precision: str = "float32"
+    # AE parameter EMA (round-5 verdict item 4): the RD GAN's held-out recon
+    # is volatile epoch-to-epoch (0.078 -> 0.209 across late snapshots,
+    # PARITY.md "RD autoencoder floor") because the adversarial gradient
+    # keeps kicking the AE around its equilibrium. decay > 0 maintains an
+    # exponential moving average of the AE params; snapshots carry it, the
+    # best-by-val selection scores it, and the FINAL returned/saved AE is
+    # the EMA (the deploy params). 0 disables (default — the LV protocol is
+    # not volatile and stays reference-faithful).
+    ae_ema: float = 0.0
     include_sindy: bool = False
     eq_constraint: bool = False
     poly_order: int = 2
@@ -433,6 +442,10 @@ def train_lassi(
         dx_train = x_train  # placeholder; unused without include_sindy
     key, kinit = jax.random.split(key)
     bundle, batch_stats, opt_state, sindy_carry = trainer.init(kinit, x_train)
+    ema_ae = bundle["ae"] if hp.ae_ema > 0.0 else None
+    ema_update = (jax.jit(lambda e, p: jax.tree_util.tree_map(
+        lambda a, b: hp.ae_ema * a + (1.0 - hp.ae_ema) * b, e, p))
+        if hp.ae_ema > 0.0 else None)
     history = []
     start_epoch = 0
     if resume and save_dir is not None:
@@ -442,9 +455,12 @@ def train_lassi(
             like = {"bundle": bundle, "batch_stats": batch_stats,
                     "opt_state": opt_state, "sindy_carry": sindy_carry,
                     "key": key}
+            if ema_ae is not None:
+                like["ema_ae"] = ema_ae
             state, history = ckpt.load_train_state(path, like)
             bundle, batch_stats = state["bundle"], state["batch_stats"]
             opt_state, sindy_carry = state["opt_state"], state["sindy_carry"]
+            ema_ae = state.get("ema_ae", ema_ae)
             key = state["key"]
             if verbose:
                 print(f"Resumed from {path} (epochs done: {start_epoch})")
@@ -467,6 +483,8 @@ def train_lassi(
             sindy_carry = dict(sindy_carry, mask=jnp.logical_and(
                 jnp.abs(Xi) > hp.threshold, sindy_carry["mask"] > 0
             ).astype(jnp.float32))
+        if ema_ae is not None:
+            ema_ae = ema_update(ema_ae, bundle["ae"])
         metrics = {k: float(v) for k, v in metrics.items()}
         if any(np.isnan(v) for v in metrics.values()):
             # NaN bailout, keeping the last finite state (the reference's
@@ -494,13 +512,34 @@ def train_lassi(
                     print(np.asarray(L))
         if (save_interval > 0 and save_dir is not None
                 and (epoch + 1) % save_interval == 0):
+            # held-out recon recorded with the snapshot so pruning can keep
+            # the best-by-val state (verdict item 4). The eval key is derived
+            # from the epoch, NOT split off the main stream — resume
+            # bit-identity must not depend on whether a save happened.
+            val_metric = None
+            if x_val is not None:
+                # with EMA on, score the deploy params (the EMA), not the
+                # raw adversarial iterate
+                eval_bundle = (dict(bundle, ae=ema_ae) if ema_ae is not None
+                               else bundle)
+                em = trainer.eval_metrics(
+                    eval_bundle, batch_stats, sindy_carry, x_val,
+                    dx_val if dx_val is not None else x_val,
+                    jax.random.fold_in(jax.random.PRNGKey(17), epoch))
+                val_metric = float(em.get("loss_ae_rel", em.get("loss_ae")))
             # saved AFTER the eval/log block so the stored key reflects every
             # split consumed this epoch — resume continues the exact stream
+            state_to_save = {"bundle": bundle, "batch_stats": batch_stats,
+                             "opt_state": opt_state,
+                             "sindy_carry": sindy_carry, "key": key}
+            if ema_ae is not None:
+                state_to_save["ema_ae"] = ema_ae
             ckpt.save_train_state(
                 ckpt.train_state_path(save_dir, epoch + 1),
-                {"bundle": bundle, "batch_stats": batch_stats,
-                 "opt_state": opt_state, "sindy_carry": sindy_carry,
-                 "key": key},
-                history)
+                state_to_save, history, val_metric=val_metric)
             ckpt.prune_train_states(save_dir, keep=max_snapshots)
+    if ema_ae is not None:
+        # the EMA is the deploy AE: final artifacts (save_laligan in
+        # cli/main.py) and downstream cross-stage loads get it
+        bundle = dict(bundle, ae=ema_ae)
     return bundle, batch_stats, sindy_carry, history

@@ -52,13 +52,26 @@ def load_pytree(path: str, like: Any) -> Any:
 _HIST = "__hist__/"
 
 
-def save_train_state(path: str, state: Any, history=()) -> None:
+_VAL_KEY = "__valmetric__"
+
+
+def save_train_state(path: str, state: Any, history=(),
+                     val_metric: "float | None" = None) -> None:
     """Persist a full mid-training snapshot (reference train.py:260-269's
     epoch-suffixed saves, extended with optimizer state + PRNG key + metric
     history so an interrupted run resumes bit-identically — on this tunnel,
     where the worker dies at ~3-4 min, this matters more than it did for the
-    reference). `state` is any pytree (bundle/batch_stats/opt_state/...)."""
+    reference). `state` is any pytree (bundle/batch_stats/opt_state/...).
+
+    val_metric: optional held-out scalar (lower = better) recorded with the
+    snapshot so prune_train_states can retain the BEST snapshot alongside
+    the newest ones (round-5 verdict item 4: the reference keeps
+    epoch-suffixed saves with no selection, train.py:260-269; newest-only
+    retention made 'best saved snapshot' claims luck-dependent under the RD
+    GAN's val volatility)."""
     flat, _ = _flatten(state)
+    if val_metric is not None:
+        flat[_VAL_KEY] = np.asarray(float(val_metric), np.float64)
     # Union of keys across entries: a metric that first appears after epoch 0
     # (e.g. val metrics logged only at log_interval) must not KeyError the
     # save; absent epochs round-trip as NaN.
@@ -106,13 +119,46 @@ def train_state_path(save_dir: str, epochs_done: int,
     return os.path.join(root, save_dir, f"train_state_ep{epochs_done:05d}.npz")
 
 
+def snapshot_val_metric(path: str):
+    """The held-out scalar recorded at save time, or None. npz member access
+    is lazy, so this reads 8 bytes of payload, not the 154 MB snapshot."""
+    with np.load(path, allow_pickle=False) as z:
+        if _VAL_KEY in z.files:
+            return float(z[_VAL_KEY])
+    return None
+
+
+def best_train_state(save_dir: str, root: str = "saved_models"):
+    """(path, epoch, val_metric) of the snapshot with the LOWEST recorded
+    val metric under root/save_dir, or None if no snapshot carries one."""
+    import re
+
+    d = os.path.join(root, save_dir)
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for f in sorted(os.listdir(d)):
+        m = re.fullmatch(r"train_state_ep(\d+)\.npz", f)
+        if not m:
+            continue
+        v = snapshot_val_metric(os.path.join(d, f))
+        if v is not None and (best is None or v < best[2]):
+            best = (os.path.join(d, f), int(m.group(1)), v)
+    return best
+
+
 def prune_train_states(save_dir: str, keep: int,
                        root: str = "saved_models") -> None:
-    """Delete all but the newest `keep` train_state_ep*.npz snapshots.
+    """Delete all but the newest `keep` snapshots AND the best-by-val one.
 
     Resume snapshots carry the full optimizer state (154 MB each for the RD
     autoencoder), so unbounded retention is a disk leak — orbax-style
-    max_to_keep semantics instead. keep <= 0 disables pruning."""
+    max_to_keep semantics, extended with best_fn-style selection: a snapshot
+    holding the lowest recorded val metric survives pruning even when it is
+    no longer among the newest `keep` (it is the snapshot downstream
+    cross-stage loads actually want — the reference keeps every
+    epoch-suffixed save and selects nothing, train.py:260-269).
+    keep <= 0 disables pruning."""
     import re
 
     if keep <= 0:
@@ -123,8 +169,13 @@ def prune_train_states(save_dir: str, keep: int,
     snaps = sorted(
         (int(m.group(1)), f) for f in os.listdir(d)
         if (m := re.fullmatch(r"train_state_ep(\d+)\.npz", f)))
-    for _, f in snaps[:-keep]:
-        os.remove(os.path.join(d, f))
+    protect = set(f for _, f in snaps[-keep:])
+    best = best_train_state(save_dir, root=root)
+    if best is not None:
+        protect.add(os.path.basename(best[0]))
+    for _, f in snaps:
+        if f not in protect:
+            os.remove(os.path.join(d, f))
 
 
 def save_laligan(save_dir: str, bundle, batch_stats, root: str = "saved_models") -> None:

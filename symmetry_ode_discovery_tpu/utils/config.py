@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--w_reg_sim", type=float, default=1e-2)
     parser.add_argument("--w_reg_ortho", type=float, default=0.0)
     parser.add_argument("--w_reg_closure", type=float, default=0.0)
+    # AE parameter EMA decay for volatile adversarial runs (the RD GAN's
+    # val-recon band, training/lassi.py LassiHParams.ae_ema); 0 = off
+    parser.add_argument("--ae_ema", type=float, default=0.0)
     parser.add_argument("--w_sindy_z", type=float, default=1e-3)
     parser.add_argument("--w_sindy_x", type=float, default=1e-1)
     parser.add_argument("--sindy_reg_type", type=str, default="l1")

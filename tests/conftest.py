@@ -13,4 +13,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# SYMODE_TEST_TPU=1 keeps the real backend for the full-budget golden tier
+# (floors calibrated against TPU-produced tracked npzs); everything else
+# runs on the virtual 8-device CPU mesh.
+if os.environ.get("SYMODE_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")

@@ -192,3 +192,51 @@ def test_golden_gp_symm_lv_6seed(lv_noise04_flat):
                                   w_sym_reg=args["w_sym_reg"])
     joint, eq0, eq1 = _gp_eval_counts(per_seed)
     assert eq0 + eq1 >= 2 and eq0 >= 1, (joint, eq0, eq1)
+
+
+# ---------------------------------------------------------------------------
+# Full-budget GP goldens (round-5 verdict item 6): the REAL protocol (pop
+# 1024 x 40 generations, pysr_subsample 0.005) on the first 20 seeds of the
+# tracked 100-seed LV noise99 sweeps. Floors are the exact first-20 counts
+# from the tracked npzs (plain 4/20 seeds {7,8,14,18}; EquivGP-r 6/20 seeds
+# {4,6,13,14,15,16}) — the sweeps are deterministic per backend, so a
+# one-seed regression trips them. TPU-only: run with
+#   SYMODE_GOLDEN_FULL=1 SYMODE_TEST_TPU=1 python -m pytest tests/test_golden.py -k gp_full
+# ---------------------------------------------------------------------------
+
+
+def _gp_full_cli(config, save_dir, n_seeds=20):
+    import shutil
+
+    from symmetry_ode_discovery_tpu.cli import main_gp
+
+    shutil.rmtree(os.path.join("eval_results", save_dir), ignore_errors=True)
+    main_gp.main(["--config", config, "--seed", "0",
+                  "--n_seeds", str(n_seeds), "--save_dir", save_dir])
+    cf = []
+    for s in range(n_seeds):
+        with np.load(f"eval_results/{save_dir}/seed{s}.npz") as z:
+            cf.append(np.all(z["correct_form"] > 0))
+    return np.asarray(cf)
+
+
+_full_gp = pytest.mark.skipif(
+    os.environ.get("SYMODE_GOLDEN_FULL") != "1"
+    or jax.default_backend() == "cpu",
+    reason="full-protocol GP golden: set SYMODE_GOLDEN_FULL=1 and "
+           "SYMODE_TEST_TPU=1 (floors calibrated on TPU)")
+
+
+@_full_gp
+def test_golden_gp_full_plain_lv_20seed():
+    cf = _gp_full_cli("lv/noise99_eq_gp.cfg", "golden-gp-plain")
+    assert cf.sum() >= 4, np.nonzero(cf)[0].tolist()
+
+
+@_full_gp
+def test_golden_gp_full_symm_lv_20seed():
+    cf_symm = _gp_full_cli("lv/noise99_eq_gp_symm.cfg", "golden-gp-symm")
+    assert cf_symm.sum() >= 6, np.nonzero(cf_symm)[0].tolist()
+    # the paper's core claim at protocol budget: symmetry lifts the rate
+    # (tracked 100-seed sweeps: 38 vs 25; first-20: 6 vs 4)
+    assert cf_symm.sum() >= 4 + 2

@@ -32,12 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def discover_ckpts():
     """All tracked LV noise99 LaLiGAN equilibria: the reference-seed dir
-    (laligan-noise99-lv == s43) plus any laligan-noise99-lv-sNN retrain."""
+    (laligan-noise99-lv == s43) plus any laligan-noise99-lv-sNN retrain.
+    Downstream evidence: the 50-seed symreg2-* sweeps (s43/s44/s45) or the
+    round-5 reduced 25-seed symreg25-* sweeps (s46+)."""
     ckpts = {"s43": ("laligan-noise99-lv",
                      ["symreg2-noise99-lv", "bench-symreg"])}
     for d in sorted(glob.glob("saved_models/laligan-noise99-lv-s*")):
         tag = os.path.basename(d).rsplit("-", 1)[-1]
-        ckpts[tag] = (os.path.basename(d), [f"symreg2-noise99-lv-{tag}"])
+        ckpts[tag] = (os.path.basename(d),
+                      [f"symreg2-noise99-lv-{tag}",
+                       f"symreg25-noise99-lv-{tag}"])
     return ckpts
 
 
@@ -52,16 +56,47 @@ def truth_h(x):
                       jnp.exp(x[:, 0]) - 1.0], axis=1)
 
 
-def downstream(dirs):
+def downstream(dirs, min_seeds=25):
+    """First sweep dir with >= min_seeds evaluated seeds. Returns
+    (dir, n, joint_n, eq0_n, eq1_n, joint_first25) — joint_first25 is the
+    success count over seeds 0..24 only, so 50-seed and 25-seed sweeps rank
+    on a common budget (round-5 n~10 study)."""
     import numpy as np
 
     for d in dirs:
-        fs = sorted(glob.glob(f"eval_results/{d}/seed*.npz"))
-        if len(fs) == 50:
+        fs = sorted(glob.glob(f"eval_results/{d}/seed*.npz"),
+                    key=lambda f: int(f.rsplit("seed", 1)[1].split(".")[0]))
+        if len(fs) >= min_seeds:
             cf = np.stack([np.load(f)["correct_form"] for f in fs])
-            joint = int(np.all(cf > 0, axis=1).sum())
-            return d, joint, int((cf[:, 0] > 0).sum()), int((cf[:, 1] > 0).sum())
-    return None, None, None, None
+            n25 = min(25, len(fs))
+            return (d, len(fs), int(np.all(cf > 0, axis=1).sum()),
+                    int((cf[:, 0] > 0).sum()), int((cf[:, 1] > 0).sum()),
+                    int(np.all(cf[:n25] > 0, axis=1).sum()))
+    return None, None, None, None, None, None
+
+
+def spearman(a, b):
+    """Spearman rank correlation (average ranks for ties)."""
+    import numpy as np
+
+    def ranks(v):
+        v = np.asarray(v, float)
+        order = np.argsort(v)
+        r = np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            r[order[i:j + 1]] = 0.5 * (i + j) + 1.0
+            i = j + 1
+        return r
+
+    ra, rb = ranks(a), ranks(b)
+    ra -= ra.mean(); rb -= rb.mean()
+    den = np.sqrt((ra ** 2).sum() * (rb ** 2).sum())
+    return float((ra * rb).sum() / den) if den else float("nan")
 
 
 def main():
@@ -168,17 +203,33 @@ def main():
         closure = float(lg.reg_closure(gspec, g_state))
         ortho = float(lg.reg_ortho(gspec, g_state))
         norm = float(lg.reg_norm(gspec, g_state))
-        d, joint, eq0, eq1 = downstream(sweep_dirs)
+        d, n_sw, joint, eq0, eq1, joint25 = downstream(sweep_dirs)
         rows.append((name, pen, disp, discr, sep, recon, closure, ortho,
-                     norm, d, joint, eq0, eq1))
+                     norm, d, n_sw, joint, eq0, eq1, joint25))
 
     print(f"{'ckpt':5} {'truth-equiv':>11} {'disp':>9} {'discrim':>9} "
           f"{'sep':>7} {'AE recon':>9} {'closure':>8} {'ortho':>8} "
-          f"{'norm':>7}  downstream joint/eq0/eq1")
+          f"{'norm':>7}  downstream joint/eq0/eq1 (joint@25)")
     for r in rows:
-        ds = f"{r[9]}: {r[10]}/50 {r[11]}/{r[12]}" if r[9] else "(no sweep)"
+        ds = (f"{r[9]}: {r[11]}/{r[10]} {r[12]}/{r[13]} ({r[14]}/25)"
+              if r[9] else "(no sweep)")
         print(f"{r[0]:5} {r[1]:11.3e} {r[2]:9.3e} {r[3]:9.3f} {r[4]:7.2f} "
               f"{r[5]:9.5f} {r[6]:8.2e} {r[7]:8.2e} {r[8]:7.3f}  {ds}")
+
+    # rank statistics over checkpoints WITH downstream evidence, on the
+    # common 25-seed budget (round-5 verdict item 3: n>=10 equilibria)
+    have = [r for r in rows if r[9] is not None]
+    if len(have) >= 3:
+        y = [r[14] for r in have]
+        print(f"\nrank correlation vs downstream joint@25 "
+              f"(n={len(have)} equilibria):")
+        for label, idx in (("truth-equiv penalty magnitude", 1),
+                           ("transformation displacement", 2),
+                           ("discrim (pen/median wrong)", 3),
+                           ("sep (plain-wrong/truth)", 4),
+                           ("AE recon (lower=better)", 5)):
+            xs_c = [r[idx] for r in have]
+            print(f"  {label:32} rho = {spearman(xs_c, y):+.3f}")
 
 
 if __name__ == "__main__":
