@@ -98,6 +98,10 @@ def _save():
     if _rec["xi0"] is None:
         sys.stderr.write("runner: train_SIGED_lbfgs never ran\\n")
         os._exit(3)
+    keep = int(os.environ.get("SODT_PERM_KEEP", "0"))
+    if keep and _rec["perm"] is not None:
+        _rec["perm"] = _rec["perm"][:keep]  # the fit consumes only the
+        # first batch_size entries; tracked evidence stays small
     np.savez(_out, perm=_rec["perm"], xi0=_rec["xi0"],
              xi=np.stack(_rec["xi"]) if _rec["xi"] else np.zeros((0,)),
              mask_after=np.stack(_rec["mask_after"]),
@@ -137,6 +141,8 @@ def phase_setup():
 
 def phase_ref(seeds, epochs, st_freq, timeout_s):
     os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(REFRUN, "_sodt_traj_runner.py"), "w") as fh:
+        fh.write(RUNNER)  # keep the deployed runner current
     n = expect_len()
     for seed in seeds:
         traj = os.path.join(OUT, f"seed{seed}_traj.npz")
@@ -144,6 +150,7 @@ def phase_ref(seeds, epochs, st_freq, timeout_s):
             print(f"seed {seed}: traj exists, skipping")
             continue
         env = dict(os.environ, SODT_TRAJ_OUT=traj, SODT_EXPECT_LEN=str(n),
+                   SODT_PERM_KEEP=str(max(50000, int(n * 0.01))),
                    WANDB_MODE="disabled", OMP_NUM_THREADS="1")
         env.pop("PALLAS_AXON_POOL_IPS", None)
         cmd = [sys.executable, "_sodt_traj_runner.py",
