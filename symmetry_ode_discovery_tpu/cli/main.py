@@ -91,6 +91,9 @@ def run(args: dict) -> dict:
         else:
             x_train, dx_train = train_ds.x, train_ds.dx
             x_val, dx_val = val_ds.x, val_ds.dx
+        from ..utils.watchdog import beat
+
+        beat()  # the 32 MB materialize transfer is a known stall point
         hp = LassiHParams(
             num_epochs=args["num_epochs"], batch_size=args["batch_size"],
             lr_ae=args["lr_ae"], lr_d=args["lr_d"], lr_g=args["lr_g"],
@@ -305,13 +308,17 @@ def run(args: dict) -> dict:
             remat=False if use_pallas else None)
 
     def host_epochs(step_j, carry, epc):
+        from ..utils.watchdog import beat
+
         for e in range(0, hp.num_epochs, epc):
             carry = step_j(carry, e)
             # identical protocol, shorter wall clock: a done seed's updates
             # are frozen inside the epoch body, so once every lane is done
             # the remaining epochs are no-ops — skip them. The scalar fetch
             # also drains the async queue once per host step.
-            if bool(np.asarray(carry["done"]).all()):
+            done_all = bool(np.asarray(carry["done"]).all())
+            beat()  # after the blocking fetch: real device progress
+            if done_all:
                 break
         return carry
 
@@ -498,6 +505,17 @@ def main(argv=None):
     # under a watchdog; on a pre-dispatch tunnel stall, self-relaunch once
     # (sweeps resume from persisted per-seed npzs), then exit 42
     probe_first_dispatch()
+    # ...and keep a liveness watchdog armed for the whole run: the stall is
+    # stochastic PER DISPATCH, so a later early dispatch (materialize,
+    # first compile) can wedge even after a clean probe (observed round 5).
+    # Training loops feed watchdog.beat(); --resume is appended on relaunch
+    # so a LaLiGAN train continues from its snapshot.
+    import jax
+
+    if jax.default_backend() != "cpu":
+        from ..utils.watchdog import start_heartbeat
+
+        start_heartbeat(timeout_s=900.0, extra_argv=["--resume"])
     return run(args)
 
 

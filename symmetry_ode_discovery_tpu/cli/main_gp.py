@@ -233,6 +233,9 @@ def _run_sweep_mode(args, x_all, dx_all, subsample_size, spec, gx_fn,
             print(f"chunk {sub_seeds[0]}-{sub_seeds[-1]} device error "
                   f"({type(e).__name__}); retrying once")
             per_seed, eq_file = run_chunk()
+        from ..utils.watchdog import beat
+
+        beat()
 
         for seed, best in zip(sub_seeds, per_seed):
             eqs = [tape_to_string(*b) for b in best]
@@ -258,8 +261,16 @@ def main(argv=None):
 
     args = vars(get_args(argv))
     # codified CLAUDE.md stall procedure (see cli/main.py): one watched
-    # probe dispatch, self-relaunch once on stall, distinct exit code after
+    # probe dispatch + a liveness heartbeat for the whole run (beats per GP
+    # chunk); self-relaunch once on stall (chunks resume from eval npzs),
+    # distinct exit code after
     probe_first_dispatch()
+    import jax
+
+    if jax.default_backend() != "cpu":
+        from ..utils.watchdog import start_heartbeat
+
+        start_heartbeat(timeout_s=900.0)
     return run(args)
 
 

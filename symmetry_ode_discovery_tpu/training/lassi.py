@@ -36,6 +36,7 @@ from ..models.autoencoder import AutoEncoderDef
 from ..models.discriminator import Discriminator
 from ..models import lie_generator as lg
 from ..models.lie_generator import GeneratorSpec
+from ..utils import watchdog
 
 
 def bce(p, target):
@@ -486,6 +487,7 @@ def train_lassi(
         if ema_ae is not None:
             ema_ae = ema_update(ema_ae, bundle["ae"])
         metrics = {k: float(v) for k, v in metrics.items()}
+        watchdog.beat()  # float() above blocked on the epoch's device work
         if any(np.isnan(v) for v in metrics.values()):
             # NaN bailout, keeping the last finite state (the reference's
             # failure model is the same: abort on NaN, train.py:697-699)

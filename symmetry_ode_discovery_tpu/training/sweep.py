@@ -261,6 +261,9 @@ def _pallas_lbfgs_sweep(cfg, Q, x, dx, truth, hp, seeds, k, interpret=False,
     th, mask, _ = launch(S, B, q, ne, th0)
     Xi = (jnp.asarray(th) @ jnp.asarray(Mmap).T if Mmap is not None
           else jnp.asarray(th)).reshape(len(seeds), d, p)
+    from ..utils.watchdog import beat
+
+    beat()
     return _finalize(Xi, mask, truth)
 
 

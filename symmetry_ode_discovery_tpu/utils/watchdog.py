@@ -34,21 +34,25 @@ STALL_EXIT_CODE = 42
 _RETRY_ENV = "SODT_WATCHDOG_RETRIED"
 
 
-def _default_fire():
+def _default_fire(extra_argv=()):
     """Relaunch this exact command line once; exit 42 on the second stall."""
     if os.environ.get(_RETRY_ENV):
         sys.stderr.write(
-            "watchdog: first dispatch stalled again after relaunch; "
+            "watchdog: dispatch stalled again after relaunch; "
             f"exiting {STALL_EXIT_CODE} (axon tunnel wedged)\n")
         sys.stderr.flush()
         os._exit(STALL_EXIT_CODE)
     sys.stderr.write(
-        "watchdog: first dispatch did not complete in time "
-        "(tunnel pre-dispatch stall, CLAUDE.md); relaunching self once\n")
+        "watchdog: no dispatch progress in time "
+        "(tunnel dispatch stall, CLAUDE.md); relaunching self once\n")
     sys.stderr.flush()
     os.environ[_RETRY_ENV] = "1"
+    argv = [sys.executable] + sys.argv
+    for a in extra_argv:
+        if a not in argv:
+            argv.append(a)
     try:
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        os.execv(sys.executable, argv)
     except OSError:  # argv[0] not re-execable — fall back to the exit code
         os._exit(STALL_EXIT_CODE)
 
@@ -110,3 +114,61 @@ def probe_first_dispatch(timeout_s: float = 600.0, nbytes: int = 32 << 20,
         print(f"watchdog: first dispatch took {dt:.1f} s (slow tunnel)",
               file=sys.stderr)
     return dt
+
+
+# ---------------------------------------------------------------------------
+# Heartbeat watchdog. The probe alone is NOT sufficient: the stall is
+# stochastic per dispatch, so a run whose probe succeeded can still wedge on
+# a LATER early dispatch (observed round 5: a LaLiGAN train stuck at 3 s CPU
+# for 25 min with the probe long done). The training loops feed `beat()` at
+# natural progress points (per epoch / host step / chunk); if no beat lands
+# within the window, the same relaunch-once-then-exit-42 action fires.
+# ---------------------------------------------------------------------------
+
+_hb = {"last": None, "thread": None, "timeout": 0.0, "fire": None}
+
+
+def beat() -> None:
+    """Record progress. No-op unless start_heartbeat() armed the watchdog."""
+    if _hb["last"] is not None:
+        import time
+
+        _hb["last"] = time.time()
+
+
+def start_heartbeat(timeout_s: float = 900.0, extra_argv=(), fire=None,
+                    poll_s: float = 15.0) -> None:
+    """Arm the liveness watchdog for the rest of the process.
+
+    extra_argv: flags appended on self-relaunch when absent (e.g.
+    ["--resume"] so an interrupted LaLiGAN train continues from its
+    snapshot; sweeps resume from per-seed npzs without flags).
+    """
+    import threading
+    import time
+
+    if os.environ.get("SODT_NO_WATCHDOG") or _hb["thread"] is not None:
+        return
+    _hb["last"] = time.time()
+    _hb["timeout"] = timeout_s
+    _hb["fire"] = fire if fire is not None else (
+        lambda: _default_fire(extra_argv))
+
+    def _watch():
+        while True:
+            time.sleep(poll_s)
+            last = _hb["last"]
+            if last is None:
+                return  # disarmed
+            if time.time() - last > _hb["timeout"]:
+                _hb["fire"]()
+                return  # injected test fire doesn't exit — don't spin
+
+    t = threading.Thread(target=_watch, daemon=True, name="heartbeat-watchdog")
+    t.start()
+    _hb["thread"] = t
+
+
+def stop_heartbeat() -> None:
+    _hb["last"] = None
+    _hb["thread"] = None

@@ -75,3 +75,62 @@ def test_second_stall_exits_42():
                        capture_output=True, text=True, timeout=30)
     assert r.returncode == STALL_EXIT_CODE
     assert "tunnel wedged" in r.stderr
+
+
+def test_heartbeat_fires_without_beats():
+    from symmetry_ode_discovery_tpu.utils import watchdog as wd
+
+    fired = []
+    wd.stop_heartbeat()
+    wd.start_heartbeat(timeout_s=0.2, fire=lambda: fired.append(1),
+                       poll_s=0.05)
+    time.sleep(0.6)
+    wd.stop_heartbeat()
+    assert fired == [1]
+
+
+def test_heartbeat_beats_keep_it_alive():
+    from symmetry_ode_discovery_tpu.utils import watchdog as wd
+
+    fired = []
+    wd.stop_heartbeat()
+    wd.start_heartbeat(timeout_s=0.3, fire=lambda: fired.append(1),
+                       poll_s=0.05)
+    for _ in range(10):
+        time.sleep(0.1)
+        wd.beat()
+    assert not fired
+    wd.stop_heartbeat()
+    time.sleep(0.2)
+    assert not fired  # disarmed thread must not fire
+
+
+def test_heartbeat_beat_is_noop_when_unarmed():
+    from symmetry_ode_discovery_tpu.utils import watchdog as wd
+
+    wd.stop_heartbeat()
+    wd.beat()  # must not raise
+
+
+def test_heartbeat_relaunch_appends_resume(tmp_path):
+    """Stalled first launch (no beats) -> re-exec with --resume appended;
+    the relaunch sees the flag and exits cleanly."""
+    script = tmp_path / "hb_stall.py"
+    script.write_text(textwrap.dedent("""\
+        import os, sys, time
+        sys.path.insert(0, %r)
+        from symmetry_ode_discovery_tpu.utils import watchdog as wd
+
+        if "--resume" in sys.argv:
+            print("RESUMED-OK")
+            sys.exit(0)
+        wd.start_heartbeat(timeout_s=0.3, extra_argv=["--resume"],
+                           poll_s=0.05)
+        time.sleep(60)   # simulated mid-run stall, no beats
+    """ % REPO))
+    env = {k: v for k, v in os.environ.items() if k != "SODT_WATCHDOG_RETRIED"}
+    r = subprocess.run([sys.executable, str(script)], env=env,
+                       capture_output=True, text=True, timeout=30)
+    assert r.returncode == 0, r.stderr
+    assert "RESUMED-OK" in r.stdout
+    assert "relaunching self once" in r.stderr
