@@ -58,8 +58,11 @@ def run(args: dict) -> dict:
 
 def main(argv=None):
     from ..utils.config import get_args
+    from ..utils.watchdog import probe_first_dispatch
 
     args = vars(get_args(argv))
+    # codified CLAUDE.md stall procedure (see cli/main.py)
+    probe_first_dispatch()
     return run(args)
 
 

@@ -47,7 +47,7 @@ def _default_fire(extra_argv=()):
         "(tunnel dispatch stall, CLAUDE.md); relaunching self once\n")
     sys.stderr.flush()
     os.environ[_RETRY_ENV] = "1"
-    argv = [sys.executable] + sys.argv
+    argv = [sys.executable] + _self_argv()
     for a in extra_argv:
         if a not in argv:
             argv.append(a)
@@ -55,6 +55,20 @@ def _default_fire(extra_argv=()):
         os.execv(sys.executable, argv)
     except OSError:  # argv[0] not re-execable — fall back to the exit code
         os._exit(STALL_EXIT_CODE)
+
+
+def _self_argv():
+    """argv (sans interpreter) that re-runs this process. For `python -m
+    pkg.mod`, sys.argv[0] is the module FILE path — re-exec'ing it as a
+    script breaks relative imports (observed on the first real heartbeat
+    save) — so reconstruct the -m form from __main__.__spec__."""
+    spec = getattr(sys.modules.get("__main__"), "__spec__", None)
+    if spec is not None and spec.name:
+        name = spec.name
+        if name.endswith(".__main__"):
+            name = name[: -len(".__main__")]
+        return ["-m", name] + sys.argv[1:]
+    return list(sys.argv)
 
 
 def run_with_watchdog(fn, timeout_s: float, fire=None):

@@ -134,3 +134,31 @@ def test_heartbeat_relaunch_appends_resume(tmp_path):
     assert r.returncode == 0, r.stderr
     assert "RESUMED-OK" in r.stdout
     assert "relaunching self once" in r.stderr
+
+
+def test_relaunch_preserves_module_invocation(tmp_path):
+    """`python -m pkg.mod` must re-exec as -m (argv[0] is the module FILE in
+    that case; running it as a script breaks relative imports)."""
+    pkg = tmp_path / "wdpkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "helper.py").write_text("VALUE = 'FROM-RELATIVE-IMPORT'\n")
+    (pkg / "mod.py").write_text(textwrap.dedent("""\
+        import os, sys, time
+        sys.path.insert(0, %r)
+        from .helper import VALUE
+        from symmetry_ode_discovery_tpu.utils import watchdog as wd
+
+        if os.environ.get("SODT_WATCHDOG_RETRIED"):
+            print("OK", VALUE)
+            sys.exit(0)
+        wd.start_heartbeat(timeout_s=0.3, poll_s=0.05)
+        time.sleep(60)
+    """ % REPO))
+    env = {k: v for k, v in os.environ.items() if k != "SODT_WATCHDOG_RETRIED"}
+    env["PYTHONPATH"] = str(tmp_path) + os.pathsep + REPO
+    r = subprocess.run([sys.executable, "-m", "wdpkg.mod"], env=env,
+                       cwd=str(tmp_path), capture_output=True, text=True,
+                       timeout=30)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "OK FROM-RELATIVE-IMPORT" in r.stdout
