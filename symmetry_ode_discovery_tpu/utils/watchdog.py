@@ -108,6 +108,9 @@ def probe_first_dispatch(timeout_s: float = 600.0, nbytes: int = 32 << 20,
 
     if os.environ.get("SODT_NO_WATCHDOG"):
         return 0.0
+    env_t = os.environ.get("SODT_WATCHDOG_TIMEOUT")
+    if env_t:
+        timeout_s = float(env_t)
 
     def _probe():
         # the jax import / backend init runs INSIDE the watchdog on purpose:
@@ -163,6 +166,12 @@ def start_heartbeat(timeout_s: float = 900.0, extra_argv=(), fire=None,
 
     if os.environ.get("SODT_NO_WATCHDOG") or _hb["thread"] is not None:
         return
+    # SODT_WATCHDOG_TIMEOUT overrides for runs where the caller knows the
+    # legitimate first-beat gap (e.g. orchestration scripts trading a rare
+    # false kill for fast stall recovery — relaunches resume cheaply)
+    env_t = os.environ.get("SODT_WATCHDOG_TIMEOUT")
+    if env_t:
+        timeout_s = float(env_t)
     _hb["last"] = time.time()
     _hb["timeout"] = timeout_s
     _hb["fire"] = fire if fire is not None else (
