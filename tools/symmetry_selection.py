@@ -101,6 +101,11 @@ def spearman(a, b):
 
 def main():
     import jax
+
+    if "--cpu" in sys.argv:
+        # criteria are tiny (4096-point encodes + penalties); run off-TPU
+        # so the analysis never contends with device sweeps
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
