@@ -64,7 +64,11 @@ def main():
     ap.add_argument("--trace", action="store_true",
                     help="also write + summarize an XPlane trace (50 seeds)")
     ap.add_argument("--widths", type=int, nargs="*",
-                    default=[8, 50, 128, 256, 512, 1024])
+                    default=[8, 50, 128, 192],
+                    help="256+ seeds OOM the 16 MB scoped VMEM with "
+                         "history 32 (3 ring-buffer scratches of "
+                         "(32, seeds, 128) f32 = 12.6 MB at 256) — the "
+                         "measured per-launch sublane ceiling")
     args = ap.parse_args()
 
     import jax
@@ -102,12 +106,16 @@ def main():
         S, B, q, ne, th0 = _prep_normal_eq(cfg, k, n_params, x, dx, seeds)
         jax.block_until_ready((S, B, q, ne, th0))
         out = launch(S, B, q, ne, th0)      # compile + warmup
-        jax.block_until_ready(out)
+        np.asarray(out[0])
         times = []
         for _ in range(5):
             t0 = time.time()
             out = launch(S, B, q, ne, th0)
-            jax.block_until_ready(out)
+            # device_get forces REAL completion: on the axon tunnel,
+            # block_until_ready alone resolved before device execution
+            # (0.04 ms walls, below network RTT); the (seeds,128) f32
+            # fetch itself is ~25 KB, negligible
+            np.asarray(out[0])
             times.append(time.time() - t0)
         wall = min(times)
         fl = analytic_flops(w, pcfg)
